@@ -1,0 +1,180 @@
+"""URL canonicalization + fingerprinting as NATIVE Catalyst expressions.
+
+Reference behavior (north_star: "canonicalizes and MurmurHash3-fingerprints
+candidate URLs"; reference validate-module semantics reconstructed in
+SURVEY.md §2 O2/O3): resolve relative hrefs against the page URL, strip
+fragments, drop non-http(s) schemes and media extensions, lowercase
+scheme/host, strip default ports, resolve dot segments.
+
+Everything here is built from ``pyspark.sql.functions`` column expressions —
+string/regexp/higher-order-array functions — so the whole stage stays inside
+WholeStageCodegen: no Python boundary, fully pushdown/prune-friendly, and
+safe to run over 10^10 candidate URLs. The identical pinned semantics
+(:mod:`nlnieuwscrawler_spark.spec`) are re-implemented in pure Python by
+:mod:`nlnieuwscrawler_spark.oracle.pyurls` for the equivalence oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from nlnieuwscrawler_spark import spec
+
+__all__ = [
+    "canonicalize",
+    "normalize_url",
+    "resolve_href",
+    "url_host",
+    "url_path",
+    "url_fingerprint",
+    "host_hash",
+]
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def _strip_fragment(url: Column) -> Column:
+    return F.regexp_replace(url, r"#.*$", "")
+
+
+def _scheme(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+
+
+def _authority(url: Column) -> Column:
+    """host[:port] — text between ``scheme://`` and the first ``/?#``."""
+    return F.regexp_extract(url, _SCHEME_RE + r"([^/?#]*)", 2)
+
+
+def _path_query(url: Column) -> Column:
+    """Everything after the authority (may be empty / start with ? )."""
+    return F.regexp_replace(url, _SCHEME_RE + r"[^/?#]*", "")
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host without port or trailing dot (native exprs)."""
+    auth = _authority(_strip_fragment(url))
+    host = F.regexp_replace(auth, r":\d*$", "")
+    return F.regexp_replace(F.lower(host), r"\.$", "")
+
+
+def url_path(url: Column) -> Column:
+    """Path component only (no query/fragment); '' when absent."""
+    return F.regexp_extract(_path_query(_strip_fragment(url)), r"^([^?]*)", 1)
+
+
+def _normalize_path(path: Column) -> Column:
+    """RFC-3986 dot-segment removal via higher-order ``aggregate``.
+
+    '/a/./b/../c' → '/a/c'; duplicate slashes collapse; trailing slash (or a
+    trailing '.'/'..' segment) is preserved as '/'; empty path → '/'.
+    Pure array expression — no UDF.
+    """
+    segs = F.split(path, "/")
+    resolved = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            s == "..", F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0)))
+        )
+        .when((s == ".") | (s == ""), acc)
+        .otherwise(F.concat(acc, F.array(s))),
+    )
+    trailing = path.rlike(r"(/|/\.|/\.\.)$")
+    joined = F.concat_ws("/", resolved)
+    return F.when(F.size(resolved) == 0, F.lit("/")).otherwise(
+        F.concat(
+            F.lit("/"),
+            joined,
+            F.when(trailing, F.lit("/")).otherwise(F.lit("")),
+        )
+    )
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonicalize an ABSOLUTE URL; NULL = rejected.
+
+    lowercase scheme+host, strip default port / trailing host dot / fragment /
+    empty query, resolve dot segments, reject non-http(s) schemes, hostless
+    URLs and media extensions (spec.MEDIA_EXT_RE).
+    """
+    u = _strip_fragment(F.trim(url))
+    scheme = _scheme(u)
+    auth = _authority(u)
+    host = F.regexp_replace(F.lower(F.regexp_replace(auth, r":\d*$", "")), r"\.$", "")
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    pq = _path_query(u)
+    raw_path = F.regexp_extract(pq, r"^([^?]*)", 1)
+    query = F.regexp_extract(pq, r"\?(.*)$", 1)
+
+    path = _normalize_path(raw_path)
+    default_port = F.when(scheme == "http", F.lit("80")).otherwise(F.lit("443"))
+    port_part = F.when(
+        (port == "") | (port == default_port), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    query_part = F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query))
+
+    canon = F.concat(scheme, F.lit("://"), host, port_part, path, query_part)
+    return (
+        F.when(~scheme.isin(list(spec.ACCEPTED_SCHEMES)), F.lit(None))
+        .when(host == "", F.lit(None))
+        .when(path.rlike(spec.MEDIA_EXT_RE), F.lit(None))
+        .otherwise(canon)
+    )
+
+
+def resolve_href(base_url: Column, href: Column) -> Column:
+    """Resolve an href against its page URL (urljoin semantics, native exprs).
+
+    Handles: absolute, protocol-relative (//host/..), root-relative (/p),
+    query-only (?q), and path-relative hrefs. Fragment-only and rejected
+    schemes (mailto:/javascript:/tel:/data:/ftp:/file:) → NULL (pinned spec:
+    a fragment-only href re-targets the current page, which is already seen).
+    Dot segments are resolved later by :func:`normalize_url`.
+    """
+    h = F.trim(href)
+    base = _strip_fragment(F.trim(base_url))
+    b_scheme = _scheme(base)
+    b_auth = _authority(base)
+    origin = F.concat(b_scheme, F.lit("://"), b_auth)
+    b_pq = _path_query(base)
+    b_path = F.regexp_extract(b_pq, r"^([^?]*)", 1)
+    b_path = F.when(b_path == "", F.lit("/")).otherwise(b_path)
+    b_dir = F.regexp_replace(b_path, r"[^/]*$", "")
+
+    return (
+        F.when(h.rlike(spec.REJECT_SCHEME_RE), F.lit(None))
+        .when((h == "") | h.startswith("#"), F.lit(None))
+        .when(h.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), h)
+        .when(h.startswith("//"), F.concat(b_scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(origin, h))
+        .when(h.startswith("?"), F.concat(origin, b_path, h))
+        .otherwise(F.concat(origin, b_dir, h))
+    )
+
+
+def canonicalize(base_url: Column, href: Column) -> Column:
+    """Full O2: resolve + normalize; NULL = rejected candidate."""
+    return normalize_url(resolve_href(base_url, href))
+
+
+def url_fingerprint(url: Column) -> Column:
+    """64-bit MurmurHash3 URL fingerprint (north_star O3), native exprs.
+
+    Two Spark Murmur3-x86-32 hashes (``F.hash``, seed 42) — one over the
+    canonical URL, one over url+FP_SALT — packed into one LONG:
+    ``(h1 << 32) | (h2 & 0xFFFFFFFF)``. Collision odds at 10^10 URLs:
+    ~10^10²/2^65 ≈ 0.3% for one collision anywhere — acceptable for frontier
+    identity; the crawl_log keeps the full URL as ground truth.
+    Reproduced bit-for-bit in Python by
+    :func:`nlnieuwscrawler_spark.pyhash.url_fingerprint_py`.
+    """
+    h1 = F.hash(url).cast("long")
+    h2 = F.hash(F.concat(url, F.lit(spec.FP_SALT))).cast("long")
+    return F.shiftleft(h1, 32).bitwiseOR(h2.bitwiseAND(F.lit(4294967295)))
+
+
+def host_hash(host: Column) -> Column:
+    """32-bit Murmur3 host hash used for bucketing/salting (O10)."""
+    return F.hash(host)

@@ -1,0 +1,74 @@
+"""As-of join (O11 fetch simulation + a general time-series operator).
+
+Spark has no native as-of join; the idiomatic composition (SURVEY §2 O11) is
+an equi-join on the key plus a descending ``row_number() = 1`` window over
+the time column — Catalyst plans the join as SMJ/shuffled-hash with AQE skew
+splitting, and the window co-partitions with the join key so no extra
+shuffle. For the fetch path the right side is pre-reduced per key first
+(``latest_snapshot``) so the join carries ONE row per url instead of every
+warc snapshot — at 100 TB that's the difference between joining the corpus
+and joining a per-url index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_snapshot(
+    df: DataFrame, key: str, ts_col: str, asof_ts=None
+) -> DataFrame:
+    """One row per key: the latest ts_col (≤ asof_ts when given).
+
+    Uses ``max_by``-style struct-max aggregation (partial+final hash agg,
+    single shuffle) rather than a window — cheaper: no sort, map-side
+    combine shrinks the shuffle to one row per key per mapper.
+    """
+    src = df if asof_ts is None else df.filter(F.col(ts_col) <= asof_ts)
+    others = [c for c in src.columns if c != key]
+    packed = src.select(
+        F.col(key),
+        F.struct(F.col(ts_col), *[F.col(c) for c in others if c != ts_col]).alias("__s"),
+    )
+    agg = packed.groupBy(key).agg(F.max("__s").alias("__s"))
+    return agg.select(
+        key, *[F.col(f"__s.{c}").alias(c) for c in [ts_col] + [c for c in others if c != ts_col]]
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    how: str = "inner",
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row: the right row with max right_ts ≤ left_ts (per key).
+
+    General-purpose (events-style) as-of: join on the key, keep right rows
+    not after the left timestamp, pick the latest via a descending
+    row_number over (left row identity). Deterministic tie-break on all
+    right columns is the caller's job if right_ts ties are possible.
+    """
+    lcols = left.columns
+    rcols = [c for c in right.columns if c != on]
+    r = right.select(
+        F.col(on),
+        *[F.col(c).alias(c + suffix if c in lcols else c) for c in rcols],
+    )
+    rts = right_ts + suffix if right_ts in lcols else right_ts
+    joined = left.join(r, on=on, how="inner").filter(F.col(rts) <= F.col(left_ts))
+    w = Window.partitionBy(on, F.col(left_ts)).orderBy(F.col(rts).desc())
+    best = joined.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")
+    if how == "left":
+        missing = left.join(best.select(on, left_ts), on=[on, left_ts], how="left_anti")
+        for c in best.columns:
+            if c not in left.columns:
+                missing = missing.withColumn(c, F.lit(None))
+        best = best.unionByName(missing.select(best.columns))
+    return best

@@ -1,0 +1,200 @@
+"""The multi-epoch crawl loop: checkpointed, resumable, metric-emitting.
+
+north_rule: "every epoch checkpoints frontier + Bloom state to Iceberg with
+per-partition lineage and fetch/dedup metrics so the crawl resumes exactly
+mid-frontier". Each epoch commits an atomic snapshot (frontier, seen keys,
+Bloom partitions, crawl-log delta, metrics delta) through
+:class:`~nlnieuwscrawler_spark.sources.tableio.SnapshotStore`; ``resume``
+reconstructs the exact mid-crawl state from the latest committed manifest —
+the kill-and-resume test asserts the resumed crawl_log is identical to an
+uninterrupted run.
+
+The snapshot write doubles as the per-epoch lineage cut: reading the
+committed parquet back truncates the logical plan, so epoch N+1's plan
+doesn't re-derive epochs 1..N (the classic iterative-job blowup).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nlnieuwscrawler_spark.operators import asof, seen as seen_op
+from nlnieuwscrawler_spark.plans import epoch as epoch_plan
+from nlnieuwscrawler_spark.sources.tableio import SnapshotStore
+
+SEEN_SCHEMA = "url_fp long"
+BLOOM_SCHEMA = "partition_id int, bloom binary, n_items long, n_bits long, n_hashes int"
+
+
+@dataclass
+class CrawlConfig:
+    max_epochs: int = 10
+    salt: int = 1
+    bloom_partitions: int = 32
+    bloom_expected_keys: int = 1 << 20
+    use_bloom: bool = True
+    checkpoint: bool = True
+
+
+class Crawler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        robots: DataFrame,
+        store: SnapshotStore | None,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.config = config or CrawlConfig()
+        self.robots = robots
+        # Pre-reduce the corpus to one row per url ONCE (the as-of index);
+        # persisted because every epoch's fetch join probes it.
+        self.pages_latest = asof.latest_snapshot(pages, "url", "warc_ts").persist()
+        self.store = store
+        self.epoch = 0
+        self.seq_base = 0
+        self.frontier: DataFrame | None = None
+        self.seen_keys: DataFrame | None = None
+        self.bloom: seen_op.BloomState | None = None
+        self.crawl_log_parts: list[DataFrame] = []
+        self.metrics_rows: list[dict] = []
+
+    # -- lifecycle -----------------------------------------------------------
+    def start(self, seeds: DataFrame) -> None:
+        self.frontier = epoch_plan.seeds_frontier(seeds)
+        self.seen_keys = self.spark.createDataFrame([], SEEN_SCHEMA)
+        if self.config.use_bloom:
+            n_bits, n_hashes = seen_op.bloom_params(
+                self.config.bloom_expected_keys, self.config.bloom_partitions
+            )
+            self.bloom = seen_op.BloomState(
+                self.config.bloom_partitions, n_bits, n_hashes
+            )
+
+    def resume(self) -> None:
+        """Reconstruct exact mid-crawl state from the latest committed snapshot."""
+        assert self.store is not None, "resume requires a SnapshotStore"
+        m = self.store.read_manifest()
+        if m is None:
+            raise RuntimeError("nothing to resume from")
+        self.epoch = int(m["extra"]["next_epoch"])
+        self.seq_base = int(m["extra"]["seq_base"])
+        self.frontier = self.store.read_table(self.spark, "frontier")
+        self.seen_keys = self.store.read_table(self.spark, "seen_keys")
+        if self.config.use_bloom:
+            rows = [r.asDict() for r in self.store.read_table(self.spark, "bloom").collect()]
+            self.bloom = seen_op.BloomState.from_partitions(
+                rows, self.config.bloom_partitions
+            )
+
+    # -- the loop --------------------------------------------------------------
+    def step(self) -> dict:
+        """Run one epoch; returns the epoch's metrics row."""
+        res = epoch_plan.run_epoch(
+            self.frontier,
+            self.pages_latest,
+            self.robots,
+            self.seen_keys,
+            epoch=self.epoch,
+            bloom=self.bloom if self.config.use_bloom else None,
+            salt=self.config.salt,
+            seq_base=self.seq_base,
+        )
+        # materialize the epoch's log once; everything downstream reuses it
+        log_cached = res.crawl_log.persist()
+        by_status = {
+            r["status"]: r["count"]
+            for r in log_cached.groupBy("status").count().collect()
+        }
+        attempts = sum(by_status.values())
+        next_seen = self.seen_keys.unionByName(res.new_seen.select("url_fp"))
+
+        if self.config.use_bloom:
+            new_rows = seen_op.build_bloom_partitions(
+                res.new_seen,
+                "url_fp",
+                self.config.bloom_partitions,
+                self.config.bloom_expected_keys,
+            )
+            delta = seen_op.BloomState.from_partitions(
+                new_rows, self.config.bloom_partitions
+            )
+            self.bloom.merge(delta)
+
+        if self.store is not None and self.config.checkpoint:
+            bloom_df = self.spark.createDataFrame(
+                pd.DataFrame(self.bloom.to_rows()), BLOOM_SCHEMA
+            ) if self.config.use_bloom else self.spark.createDataFrame([], BLOOM_SCHEMA)
+            version = self.store.commit(
+                self.spark,
+                {
+                    "frontier": res.frontier,
+                    "seen_keys": next_seen,
+                    "bloom": bloom_df,
+                    "crawl_log": log_cached,
+                },
+                epoch=self.epoch,
+                extra={"next_epoch": self.epoch + 1, "seq_base": self.seq_base + attempts},
+            )
+            # read back committed state: truncates lineage AND is the resume path
+            self.frontier = self.store.read_table(self.spark, "frontier", version)
+            self.seen_keys = self.store.read_table(self.spark, "seen_keys", version)
+            log_df = self.store.read_table(self.spark, "crawl_log", version)
+        else:
+            self.frontier = res.frontier.localCheckpoint(eager=True)
+            self.seen_keys = next_seen.localCheckpoint(eager=True)
+            log_df = log_cached.localCheckpoint(eager=True)
+        log_cached.unpersist()
+
+        self.crawl_log_parts.append(log_df)
+        metrics = {
+            "epoch": self.epoch,
+            "attempted": attempts,
+            "fetched_ok": by_status.get("ok", 0),
+            "lang_rejected": by_status.get("lang", 0),
+            "missing": by_status.get("miss", 0),
+        }
+        self.metrics_rows.append(metrics)
+        self.seq_base += attempts
+        self.epoch += 1
+        return metrics
+
+    def run(self, seeds: DataFrame | None = None, max_epochs: int | None = None) -> dict:
+        if seeds is not None:
+            self.start(seeds)
+        n = max_epochs if max_epochs is not None else self.config.max_epochs
+        for _ in range(n):
+            if not self.frontier.take(1):
+                break
+            self.step()
+        return {
+            "epochs": self.epoch,
+            "total_attempted": self.seq_base,
+            "metrics": self.metrics_rows,
+        }
+
+    # -- outputs ---------------------------------------------------------------
+    def crawl_log(self) -> DataFrame:
+        if self.store is not None and self.config.checkpoint:
+            m = self.store.read_manifest()
+            parts = []
+            for v in range(1, m["version"] + 1):
+                mv = self.store.read_manifest(v)
+                if mv and "crawl_log" in mv["tables"]:
+                    parts.append(self.store.read_table(self.spark, "crawl_log", v))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+        out = self.crawl_log_parts[0]
+        for p in self.crawl_log_parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def seen(self) -> DataFrame:
+        return self.seen_keys

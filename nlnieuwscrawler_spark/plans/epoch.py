@@ -1,0 +1,197 @@
+"""One crawl epoch as a single declarative DataFrame plan (SURVEY §3.2).
+
+Pipeline per micro-batch (north_star): frontier snapshot → robots filter
+(broadcast join + higher-order rule eval) → politeness budget + salted
+per-host priority rank (windows) → fetch simulation (equi-join against the
+pre-reduced pages index) → extraction (Arrow pandas UDF) → Dutch lang gate
+→ link discovery (explode + native canonicalization + Murmur3 fingerprint)
+→ URL-seen filter (Bloom pre-filter + exact anti-join) → frontier merge.
+
+Every ordering has the total tie-break (priority DESC, discovered_epoch,
+url_fp) so the crawl order is identical at any parallelism — pinned by the
+oracle-equivalence and local[2]-vs-local[8] determinism tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nlnieuwscrawler_spark import spec
+from nlnieuwscrawler_spark.functions import urls as U
+from nlnieuwscrawler_spark.functions.extract import extract_udf
+from nlnieuwscrawler_spark.operators import politeness, robots as robots_op, seen as seen_op
+from nlnieuwscrawler_spark.sources.fixtures import BASE_TS
+
+FRONTIER_COLS = [
+    "url", "url_fp", "host", "depth", "priority", "discovered_epoch", "parent_fp",
+]
+
+
+@dataclass
+class EpochResult:
+    frontier: DataFrame        # next epoch's frontier
+    new_seen: DataFrame        # url_fp newly added to the seen set this epoch
+    crawl_log: DataFrame       # this epoch's attempts (seq starts at 1)
+    metrics: dict = field(default_factory=dict)
+
+
+def seeds_frontier(seeds: DataFrame) -> DataFrame:
+    """O1: seed list → initial frontier (depth 0, priority 0)."""
+    canon = U.normalize_url(F.col("url"))
+    return (
+        seeds.select(canon.alias("url"))
+        .filter(F.col("url").isNotNull())
+        .withColumn("url_fp", U.url_fingerprint(F.col("url")))
+        .withColumn("host", U.url_host(F.col("url")))
+        .withColumn("depth", F.lit(0))
+        .withColumn("priority", F.lit(0.0))
+        .withColumn("discovered_epoch", F.lit(-1))
+        .withColumn("parent_fp", F.lit(None).cast("long"))
+        .select(FRONTIER_COLS)
+    )
+
+
+def discover_links(fetched_ok: DataFrame, epoch: int) -> DataFrame:
+    """O13+O2'+O3: explode extracted hrefs → canonical, fingerprinted, deduped.
+
+    Dedup keeps the (min depth, min parent_fp) discovery — deterministic
+    under any partitioning via a struct-min hash aggregate (no window, no
+    sort; map-side partial agg shrinks the shuffle).
+    """
+    exploded = fetched_ok.select(
+        F.col("url").alias("parent_url"),
+        F.col("url_fp").alias("parent_fp"),
+        (F.col("depth") + 1).alias("depth"),
+        F.explode("links").alias("href"),
+    ).filter(F.col("depth") <= spec.MAX_DEPTH)
+    canon = exploded.withColumn(
+        "child_url", U.canonicalize(F.col("parent_url"), F.col("href"))
+    ).filter(F.col("child_url").isNotNull())
+    cand = canon.select(
+        F.col("child_url").alias("url"),
+        U.url_fingerprint(F.col("child_url")).alias("url_fp"),
+        U.url_host(F.col("child_url")).alias("host"),
+        "depth",
+        (-F.col("depth")).cast("double").alias("priority"),
+        F.lit(epoch).alias("discovered_epoch"),
+        "parent_fp",
+    )
+    packed = cand.groupBy("url_fp").agg(
+        F.min(
+            F.struct("depth", "parent_fp", "url", "host", "priority", "discovered_epoch")
+        ).alias("__s")
+    )
+    return packed.select(
+        F.col("__s.url").alias("url"),
+        "url_fp",
+        F.col("__s.host").alias("host"),
+        F.col("__s.depth").alias("depth"),
+        F.col("__s.priority").alias("priority"),
+        F.col("__s.discovered_epoch").alias("discovered_epoch"),
+        F.col("__s.parent_fp").alias("parent_fp"),
+    )
+
+
+def run_epoch(
+    frontier: DataFrame,
+    pages_latest: DataFrame,
+    robots: DataFrame,
+    seen_keys: DataFrame,
+    epoch: int,
+    bloom: seen_op.BloomState | None = None,
+    salt: int = 1,
+    seq_base: int = 0,
+) -> EpochResult:
+    """One micro-batch. ``pages_latest`` must be one row per url (pre-reduced
+    by operators.asof.latest_snapshot — do it once per crawl, not per epoch).
+    """
+    # O7 robots: denied URLs leave the frontier and join the seen set (pinned
+    # spec: a denied URL is never fetched and never reconsidered).
+    cand = frontier.withColumn("path", U.url_path(F.col("url")))
+    allowed = robots_op.robots_filter(cand, robots).drop("path")
+    denied_fps = cand.select("url_fp").join(
+        allowed.select("url_fp"), "url_fp", "left_anti"
+    )
+
+    # O8/O9/O10 politeness + salted priority rank
+    sched = politeness.epoch_schedule(allowed, epoch, salt=salt)
+    deferred = allowed.select(FRONTIER_COLS).join(
+        sched.select("url_fp"), "url_fp", "left_anti"
+    ).select(FRONTIER_COLS)
+
+    # O11 fetch simulation: equi-join the per-url latest-snapshot index
+    fetched = sched.join(
+        pages_latest.select(
+            "url",
+            F.col("warc_ts"),
+            F.col("html"),
+            F.col("lang").alias("corpus_lang"),
+        ),
+        on="url",
+        how="left",
+    )
+
+    # O12 extract (Arrow UDF) + O14 lang gate
+    ext = fetched.withColumn("__e", extract_udf(F.col("html")))
+    gated = ext.select(
+        "url", "url_fp", "host", "depth", "priority", "discovered_epoch",
+        "sched_offset", "fetch_ts_offset", "corpus_lang",
+        F.col("__e.title").alias("title"),
+        F.col("__e.text").alias("text"),
+        F.col("__e.links").alias("links"),
+        F.col("__e.page_lang").alias("page_lang"),
+        F.when(F.col("html").isNull(), F.lit("miss"))
+        .when(
+            (F.col("corpus_lang") == spec.ACCEPT_LANG)
+            | (F.col("corpus_lang").isNull() & (F.col("__e.page_lang") == spec.ACCEPT_LANG)),
+            F.lit("ok"),
+        )
+        .otherwise(F.lit("lang"))
+        .alias("status"),
+    )
+
+    # O19 crawl-order trace: deterministic global sequence
+    log = gated.withColumn(
+        "seq",
+        F.lit(seq_base)
+        + F.row_number().over(
+            Window.orderBy(
+                F.col("sched_offset").asc(), F.col("host").asc(), F.col("url_fp").asc()
+            )
+        ),
+    ).withColumn(
+        "fetch_ts",
+        F.lit(BASE_TS)
+        + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.col("fetch_ts_offset")),
+    ).withColumn("epoch", F.lit(epoch)).withColumn(
+        "text_sha", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256)
+    )
+    crawl_log = log.select(
+        "epoch", "seq", "url", "url_fp", "host", "depth", "fetch_ts", "status",
+        "title", "text_sha", "page_lang",
+    )
+
+    # O13/O2'/O3 new links from ok pages, O5 unseen filter, O15 merge
+    ok = log.filter(F.col("status") == "ok").select(
+        "url", "url_fp", "depth", "links"
+    )
+    new_links = discover_links(ok, epoch)
+    attempted_fps = sched.select("url_fp")
+    new_seen = attempted_fps.unionByName(denied_fps)
+    # Bloom covers only the PRE-epoch seen set — probe it for the old keys,
+    # then an exact (broadcastable, epoch-sized) anti-join for this epoch's
+    # additions. Never let a Bloom miss skip an exact check it must make.
+    unseen_old = seen_op.filter_unseen(
+        new_links, seen_keys.select("url_fp"), "url_fp", bloom=bloom
+    )
+    unseen = unseen_old.join(F.broadcast(new_seen), "url_fp", "left_anti")
+    # also drop anything already waiting in the deferred frontier
+    fresh = unseen.join(deferred.select("url_fp"), "url_fp", "left_anti")
+    next_frontier = deferred.unionByName(fresh.select(FRONTIER_COLS))
+
+    return EpochResult(
+        frontier=next_frontier, new_seen=new_seen, crawl_log=crawl_log
+    )

@@ -1,0 +1,506 @@
+"""The driver-checked query registry: Spark queries + DuckDB oracle SQL.
+
+Each entry exercises an operator category from SURVEY.md §2.2 over the
+driver's synthetic tables (`/root/testdata/sf*/…`). The Spark side and the
+SQL side alias every computed column to the SAME name — the driver compares
+row-count + schema + order-insensitive value-hash.
+
+Convention: q_* functions take (spark, sf_dir) and return a DataFrame;
+ORACLE[name] is the DuckDB-1.0 SQL equivalent. Entries without oracle SQL
+(non-SQL-expressible: crawl pipeline, Bloom, streaming) are in
+NO_ORACLE_QUERIES and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dsum(col, scale: int = 2):
+    """Order-independent float aggregate: sum in DECIMAL (exact, associative)
+    then round → double, so Spark's partial/final partition-order summation
+    and DuckDB's sequential summation produce IDENTICAL bits. SQL twin:
+    ``round(sum(CAST(x AS DECIMAL(25,6))), 2)::DOUBLE``.
+    """
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.round(F.sum(c.cast("decimal(25,6)")), scale).cast("double")
+
+
+def davg(col, scale: int = 4):
+    """avg via exact decimal sum → double / count → round (SQL twin:
+    ``round((sum(CAST(x AS DECIMAL(25,6))))::DOUBLE / count(x), 4)``)."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.round(
+        F.sum(c.cast("decimal(25,6)")).cast("double") / F.count(c), scale
+    )
+
+
+# --------------------------------------------------------------------------
+# Relational core (scan, filter, agg, join, window, setops, sort/limit)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: filter → groupBy → 6 aggregates → sort."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(CAST(l_quantity      AS DECIMAL(25,6))), 2)::DOUBLE AS sum_qty,
+       round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2)::DOUBLE AS sum_base_price,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2)::DOUBLE AS sum_disc_price,
+       round((sum(CAST(l_quantity AS DECIMAL(25,6))))::DOUBLE / count(l_quantity), 4) AS avg_qty,
+       round((sum(CAST(l_discount AS DECIMAL(25,6))))::DOUBLE / count(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + top-K (TakeOrderedAndProject)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE_TOP_REVENUE = """
+SELECT l_orderkey, o_orderdate,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2)::DOUBLE AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark, sf_dir):
+    """5-way star join with broadcast dims (TPC-H Q5 shape)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("r_name")
+    )
+
+
+ORACLE_REGION_REVENUE = """
+SELECT r_name,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2)::DOUBLE AS revenue,
+       count(DISTINCT o_orderkey)              AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+def q_window_topk_per_customer(spark, sf_dir):
+    """Ranking window: top-3 orders per customer (the O9 priority-queue shape)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+ORACLE_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def q_window_running(spark, sf_dir):
+    """Analytic window with frame: per-user running event value + lag."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        # decimal accumulation: exact + associative → engine-independent bits
+        F.round(
+            F.sum(F.col("value").cast("decimal(25,6)")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            4,
+        ).cast("double").alias("running_value"),
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.row_number().over(w).alias("event_rank"),
+    )
+
+
+ORACLE_WINDOW_RUNNING = """
+SELECT user_id, event_id,
+       round(sum(CAST(value AS DECIMAL(25,6)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)::DOUBLE AS running_value,
+       lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)   AS prev_value,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)    AS event_rank
+FROM events
+"""
+
+
+def q_semi_anti_join(spark, sf_dir):
+    """Left-semi + left-anti (the O5/O15 seen-filter shapes) as counts."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    with_orders = c.join(o, "c_custkey", "left_semi").count()
+    without = c.join(o, "c_custkey", "left_anti").count()
+    return spark.createDataFrame(
+        [(with_orders, without)], "with_orders long, without_orders long"
+    )
+
+
+ORACLE_SEMI_ANTI = """
+SELECT
+  (SELECT count(*) FROM customer WHERE EXISTS
+     (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS with_orders,
+  (SELECT count(*) FROM customer WHERE NOT EXISTS
+     (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS without_orders
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """intersect / except (URL-seen-set equivalence machinery)."""
+    cn = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    sn = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    both = cn.intersect(sn).count()
+    cust_only = cn.exceptAll(sn).count()
+    supp_only = sn.exceptAll(cn).count()
+    return spark.createDataFrame(
+        [(both, cust_only, supp_only)],
+        "both long, cust_only long, supp_only long",
+    )
+
+
+ORACLE_SET_OPS = """
+WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+     sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+SELECT
+  (SELECT count(*) FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)) AS both,
+  (SELECT count(*) FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn))    AS cust_only,
+  (SELECT count(*) FROM (SELECT nk FROM sn EXCEPT SELECT nk FROM cn))    AS supp_only
+"""
+
+
+def q_rollup_metrics(spark, sf_dir):
+    """rollup + grouping_id (the O18 metrics-cube shape)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("o_totalprice").alias("total"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*)          AS n,
+       round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2)::DOUBLE AS total,
+       grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+
+def q_asof_latest_event(spark, sf_dir):
+    """As-of shape (O11 fetch): latest event per user at/before a cutoff."""
+    e = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.filter(F.col("ts") <= cutoff)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+ORACLE_ASOF = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts <= TIMESTAMP '2024-06-01 00:00:00'
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# String / datetime / JSON / array functions (O2, O12, O18 building blocks)
+# --------------------------------------------------------------------------
+
+def q_string_funcs(spark, sf_dir):
+    """Canonicalization-style string ops over documents."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lower(F.col("source")).alias("src_lower"),
+        F.length("text").alias("text_len"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.substring("text", 1, 20).alias("prefix20"),
+        F.regexp_extract(F.col("text"), r"^(\w+)", 1).alias("first_word"),
+    )
+
+
+ORACLE_STRING = """
+SELECT doc_id,
+       lower(source)                         AS src_lower,
+       length(text)                          AS text_len,
+       length(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       substring(text, 1, 20)                AS prefix20,
+       coalesce(regexp_extract(text, '^(\\w+)', 1), '') AS first_word
+FROM documents
+"""
+
+
+def q_hourly_events(spark, sf_dir):
+    """Tumbling-window shape via date_trunc (streaming O18 equivalent)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n"), dsum("value", 4).alias("total_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+ORACLE_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n,
+       round(sum(CAST(value AS DECIMAL(25,6))), 4)::DOUBLE AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+def q_json_props(spark, sf_dir):
+    """JSON extraction + parse into map + aggregate (metadata parsing shape)."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_JSON = """
+SELECT event_type,
+       count(*) AS n_with_k,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_array_stats(spark, sf_dir):
+    """Higher-order array functions over embeddings (O7 rules-eval shape)."""
+    em = load(spark, sf_dir, "embeddings")
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.array_min("embedding").alias("min_v"),
+        F.array_max("embedding").alias("max_v"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+ORACLE_ARRAY = """
+SELECT vec_id,
+       length(embedding)  AS dim,
+       list_min(embedding) AS min_v,
+       list_max(embedding) AS max_v,
+       length(list_filter(embedding, x -> x > 0)) AS n_pos
+FROM embeddings
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data ops: dedup & text analysis (first-class, judge-graded)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash: keep min doc_id per md5(text)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: length/punct/digit/stopword ratios (training-data gate)."""
+    d = load(spark, sf_dir, "documents")
+    stop = "(?i)\\b(de|het|een|en|van|in|op|te|met|the|a|of|and|to|in)\\b"
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        toks.alias("n_tokens"),
+        (F.length("text") - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))).alias("n_punct"),
+        (F.length("text") - F.length(F.regexp_replace("text", r"[0-9]", ""))).alias("n_digits"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(stop), F.lit(0))).alias("n_stopwords"),
+    )
+
+
+ORACLE_TEXT_QUALITY = """
+SELECT doc_id,
+       length(text) AS n_chars_m,
+       length(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+       length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))    AS n_digits,
+       length(regexp_extract_all(text, '(?i)\\b(de|het|een|en|van|in|op|te|met|the|a|of|and|to|in)\\b')) AS n_stopwords
+FROM documents
+"""
+
+
+def q_lang_gate(spark, sf_dir):
+    """O14 over documents: Dutch-language gate + per-lang counts."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.coalesce(F.col("lang"), F.lit("??")).alias("lang_b"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("lang") == "nl", 1).otherwise(0)).alias("n_dutch"),
+            F.round(F.sum(F.length("text")).cast("double") / F.count("*"), 4).alias("avg_len"),
+        )
+        .orderBy("lang_b")
+    )
+
+
+ORACLE_LANG_GATE = """
+SELECT coalesce(lang, '??') AS lang_b,
+       count(*) AS n_docs,
+       sum(CASE WHEN lang = 'nl' THEN 1 ELSE 0 END) AS n_dutch,
+       round((sum(length(text)))::DOUBLE / count(*), 4) AS avg_len
+FROM documents GROUP BY 1 ORDER BY lang_b
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "region_revenue": q_region_revenue,
+    "window_topk_per_customer": q_window_topk_per_customer,
+    "window_running": q_window_running,
+    "semi_anti_join": q_semi_anti_join,
+    "set_ops": q_set_ops,
+    "rollup_metrics": q_rollup_metrics,
+    "asof_latest_event": q_asof_latest_event,
+    "string_funcs": q_string_funcs,
+    "hourly_events": q_hourly_events,
+    "json_props": q_json_props,
+    "array_stats": q_array_stats,
+    "dedup_exact": q_dedup_exact,
+    "text_quality": q_text_quality,
+    "lang_gate": q_lang_gate,
+}
+
+ORACLE: dict[str, str] = {
+    "pricing_summary": ORACLE_PRICING,
+    "top_revenue_orders": ORACLE_TOP_REVENUE,
+    "region_revenue": ORACLE_REGION_REVENUE,
+    "window_topk_per_customer": ORACLE_WINDOW_TOPK,
+    "window_running": ORACLE_WINDOW_RUNNING,
+    "semi_anti_join": ORACLE_SEMI_ANTI,
+    "set_ops": ORACLE_SET_OPS,
+    "rollup_metrics": ORACLE_ROLLUP,
+    "asof_latest_event": ORACLE_ASOF,
+    "string_funcs": ORACLE_STRING,
+    "hourly_events": ORACLE_HOURLY,
+    "json_props": ORACLE_JSON,
+    "array_stats": ORACLE_ARRAY,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "lang_gate": ORACLE_LANG_GATE,
+}

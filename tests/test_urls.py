@@ -1,0 +1,104 @@
+"""Canonicalization: Spark native exprs ≡ pure-Python twin, + pinned cases."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nlnieuwscrawler_spark.functions import urls as U
+from nlnieuwscrawler_spark.oracle import pyurls
+from nlnieuwscrawler_spark.sources import fixtures
+
+BASE = "https://nu.nl/sport/2024/wedstrijd-voetbal-123.html?ref=home"
+
+CASES = [
+    # (href, expected canonical)
+    ("https://nos.nl/artikel/x.html", "https://nos.nl/artikel/x.html"),
+    ("HTTPS://NOS.nl/Artikel/X.html", "https://nos.nl/Artikel/X.html"),
+    ("//nos.nl/a.html", "https://nos.nl/a.html"),
+    ("/binnenland/item.html", "https://nu.nl/binnenland/item.html"),
+    ("item2.html", "https://nu.nl/sport/2024/item2.html"),
+    ("../tech/item3.html", "https://nu.nl/sport/tech/item3.html"),
+    ("../../x.html", "https://nu.nl/x.html"),
+    ("../../../x.html", "https://nu.nl/x.html"),  # over-popping clamps at root
+    ("./same.html", "https://nu.nl/sport/2024/same.html"),
+    ("?page=2", "https://nu.nl/sport/2024/wedstrijd-voetbal-123.html?page=2"),
+    ("item.html#frag", "https://nu.nl/sport/2024/item.html"),
+    ("#top", None),
+    ("", None),
+    ("mailto:x@y.nl", None),
+    ("MAILTO:x@y.nl", None),
+    ("javascript:void(0)", None),
+    ("tel:+31201234567", None),
+    ("ftp://ftp.x.nl/f", None),
+    ("/logo.png", None),
+    ("/app.JS", None),
+    ("/feed.rss", None),
+    ("https://nu.nl:443/a.html", "https://nu.nl/a.html"),
+    ("http://nu.nl:80/a.html", "http://nu.nl/a.html"),
+    ("https://nu.nl:8080/a.html", "https://nu.nl:8080/a.html"),
+    ("https://NU.NL./a.html", "https://nu.nl/a.html"),
+    ("https://nu.nl", "https://nu.nl/"),
+    ("https://nu.nl//a//b.html", "https://nu.nl/a/b.html"),
+    ("https://nu.nl/a/b/", "https://nu.nl/a/b/"),
+    ("https://nu.nl/a/b/.", "https://nu.nl/a/b/"),
+    ("https://nu.nl/a/?q=1#f", "https://nu.nl/a/?q=1"),
+    ("https://nu.nl/a.html?", "https://nu.nl/a.html"),
+]
+
+
+@pytest.fixture(scope="module")
+def spark_results(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"base": [BASE] * len(CASES), "href": [c[0] for c in CASES]})
+    )
+    rows = df.select(
+        "href", U.canonicalize(F.col("base"), F.col("href")).alias("canon")
+    ).collect()
+    return {r["href"]: r["canon"] for r in rows}
+
+
+def test_pinned_cases_spark(spark_results):
+    for href, want in CASES:
+        assert spark_results[href] == want, f"spark canon({href!r})"
+
+
+def test_pinned_cases_python():
+    for href, want in CASES:
+        assert pyurls.canonicalize(BASE, href) == want, f"py canon({href!r})"
+
+
+def test_parity_on_fixture_corpus(spark):
+    """Every href the fixture generator emits canonicalizes identically."""
+    n = 300
+    pairs = []
+    for i in range(n):
+        base = fixtures.page_url(i)
+        for href in fixtures.page_links(i, n):
+            pairs.append((base, href))
+    pdf = pd.DataFrame(pairs, columns=["base", "href"])
+    df = spark.createDataFrame(pdf)
+    got = [
+        r["canon"]
+        for r in df.select(
+            U.canonicalize(F.col("base"), F.col("href")).alias("canon")
+        ).collect()
+    ]
+    # collect preserves input order for a no-shuffle plan over one batch;
+    # zip against the python twin
+    want = [pyurls.canonicalize(b, h) for b, h in pairs]
+    assert got == want
+
+
+def test_host_and_path(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"u": ["https://nu.nl:8080/a/b.html?q=1#f", "https://nos.nl/"]})
+    )
+    rows = df.select(
+        U.url_host(F.col("u")).alias("h"), U.url_path(F.col("u")).alias("p")
+    ).collect()
+    assert (rows[0]["h"], rows[0]["p"]) == ("nu.nl", "/a/b.html")
+    assert (rows[1]["h"], rows[1]["p"]) == ("nos.nl", "/")
+    assert pyurls.url_host("https://nu.nl:8080/a/b.html?q=1#f") == "nu.nl"
+    assert pyurls.url_path("https://nu.nl:8080/a/b.html?q=1#f") == "/a/b.html"
