@@ -1,0 +1,131 @@
+"""Text-analysis functions for training-data pipelines (native-first).
+
+- language ID: stopword-vote heuristic over nl/en/de function words —
+  pure regexp counts, SQL-expressible (oracle-checked)
+- quality scoring: length / punctuation / digit / stopword ratios
+- token counting: whitespace + a BPE-ish regex segmentation
+- document fingerprinting: winnowing over a rolling polynomial hash
+  (numpy pandas UDF — the one genuinely non-relational piece)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NL_STOP = "de|het|een|en|van|in|op|te|met|voor|dat|die|is|zijn|niet|aan|ook|naar"
+EN_STOP = "the|a|an|and|of|to|in|is|are|was|for|on|with|as|by|at|that|this"
+DE_STOP = "der|die|das|und|ist|nicht|mit|ein|eine|zu|den|von|im|für|auf|sich"
+
+
+def _stop_count(text: Column, words: str) -> Column:
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(rf"\b({words})\b"), F.lit(0))
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of stopword votes (nl/en/de), 'und'
+    (undetermined) when all zero. Deterministic tie-break nl > en > de."""
+    nl, en, de = (
+        _stop_count(text, NL_STOP),
+        _stop_count(text, EN_STOP),
+        _stop_count(text, DE_STOP),
+    )
+    best = F.greatest(nl, en, de)
+    return (
+        F.when(best == 0, F.lit("und"))
+        .when(nl == best, F.lit("nl"))
+        .when(en == best, F.lit("en"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace tokenization count."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpeish(text: Column) -> Column:
+    """BPE-ish segmentation count: letter runs, digit runs, single symbols."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), F.lit(0)))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Quality-gate features (each SQL-expressible; ratios rounded)."""
+    n_chars = F.length(text)
+    n_tok = token_count_ws(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    mean_tok_len = F.when(
+        n_tok > 0,
+        F.round(
+            F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / n_tok, 4
+        ),
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "punct_ratio": F.when(n_chars > 0, F.round(n_punct.cast("double") / n_chars, 6)).otherwise(F.lit(0.0)),
+        "digit_ratio": F.when(n_chars > 0, F.round(n_digit.cast("double") / n_chars, 6)).otherwise(F.lit(0.0)),
+        "upper_ratio": F.when(n_chars > 0, F.round(n_upper.cast("double") / n_chars, 6)).otherwise(F.lit(0.0)),
+        "mean_token_len": mean_tok_len,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score (pinned weights; gate at ≥ 0.5)."""
+    f = quality_features(text)
+    length_ok = F.when((f["n_tokens"] >= 5) & (f["n_chars"] >= 30), 0.4).otherwise(0.0)
+    punct_ok = F.when(f["punct_ratio"] <= 0.2, 0.2).otherwise(0.0)
+    digit_ok = F.when(f["digit_ratio"] <= 0.3, 0.2).otherwise(0.0)
+    tok_ok = F.when((f["mean_token_len"] >= 2.0) & (f["mean_token_len"] <= 12.0), 0.2).otherwise(0.0)
+    return F.round(length_ok + punct_ok + digit_ok + tok_ok, 2)
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints (rolling hash + min-sampling) — numpy pandas UDF
+# --------------------------------------------------------------------------
+
+WINNOW_K = 8   # char k-gram length
+WINNOW_W = 8   # winnowing window
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def winnow_fingerprints_udf(texts: pd.Series) -> pd.Series:
+    """Winnowing (Schleimer et al., SIGMOD'03): per-document set of selected
+    k-gram hashes — the min hash in each sliding window of W consecutive
+    k-grams (rightmost-min rule), deduplicated, sorted. Guarantees any
+    shared substring ≥ W+K-1 chars yields a shared fingerprint.
+    """
+    out = []
+    B = np.uint64(1000003)
+    for t in texts:
+        s = (t or "").lower()
+        data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        n = len(data) - WINNOW_K + 1
+        if n <= 0:
+            out.append([])
+            continue
+        # rolling polynomial hash over k-byte windows, vectorized
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(WINNOW_K):
+            h = h * B + data[j : j + n].astype(np.uint64)
+        if n <= WINNOW_W:
+            sel = {int(h.min())}
+        else:
+            idx = np.arange(n - WINNOW_W + 1)
+            win = np.lib.stride_tricks.sliding_window_view(h, WINNOW_W)
+            # rightmost minimum per window
+            rev_argmin = WINNOW_W - 1 - np.argmin(win[:, ::-1], axis=1)
+            sel = set(h[idx + rev_argmin].tolist())
+        out.append(sorted(int(x) - (1 << 64) if x >= (1 << 63) else int(x) for x in sel))
+    return pd.Series(out)

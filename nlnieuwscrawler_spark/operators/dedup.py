@@ -1,0 +1,257 @@
+"""Deduplication operators for web-text training pipelines.
+
+Exact + four near-dup families, each Spark-first and scale-shaped:
+
+- exact: hash-groupBy (one shuffle, map-side combine)
+- n-gram Jaccard: shingle sets via higher-order exprs, candidate pairs via
+  self-join, exact Jaccard via array_intersect — the small-N/verification
+  path, fully SQL-expressible (DuckDB oracle)
+- MinHash + LSH: signature via native xxhash64 minima (no UDF!), banding →
+  bucket-join → exact-Jaccard verify. The 100 TB path: cost is
+  O(docs × bands), never O(docs²); only bucket-colliding pairs shuffle.
+- SimHash: 64-bit sketch via a vectorized numpy pandas UDF, hamming-
+  neighbor candidates via 16-bit band buckets
+- embedding cosine near-dup: see operators/similarity.py
+
+All emit deterministic results (fixed seeds, total-order tie-breaks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# shingling (native higher-order expressions)
+# --------------------------------------------------------------------------
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as array<string> — pure Catalyst exprs."""
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two DISTINCT-element arrays (native)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per exact content hash."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup (pairwise within blocking key)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All (a < b) pairs with n-gram Jaccard ≥ threshold, within a block.
+
+    The self-join is bounded by the blocking key (at scale: LSH buckets via
+    :func:`minhash_lsh_pairs`; this exact form is the verifier / small-N
+    path). Output: doc_a, doc_b, jacc.
+    """
+    g = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
+        word_ngrams(F.col(text_col), n).alias("grams"),
+    )
+    a = g.select(
+        F.col("id").alias("doc_a"), F.col("blk"), F.col("grams").alias("ga")
+    )
+    b = g.select(
+        F.col("id").alias("doc_b"), F.col("blk"), F.col("grams").alias("gb")
+    )
+    pairs = a.join(b, on="blk").filter(F.col("doc_a") < F.col("doc_b"))
+    out = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(jaccard(F.col("ga"), F.col("gb")), 6).alias("jacc"),
+    )
+    return out.filter(F.col("jacc") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signature(grams: Column, num_hashes: int = 32) -> Column:
+    """num_hashes column of min(xxhash64(gram, seed_h)) — native, no UDF.
+
+    Each hash family member is xxhash64 seeded by a distinct literal; the
+    min over the shingle set is a higher-order array_min(transform(...)).
+    Empty gram sets get signature of NULLs (never matches anything).
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(grams, lambda s, h=h: F.xxhash64(s, F.lit(h))))
+            for h in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    rows-per-band = num_hashes/bands; a pair collides in ≥1 band with
+    probability 1-(1-j^r)^b (S-curve around j≈(1/b)^(1/r)). Candidates are
+    exact-verified so false positives cost time, never correctness.
+
+    Scale shape: explode to (doc, band, band_key) — |docs|×bands rows —
+    then a groupBy band bucket; hot buckets are bounded by collision rate,
+    and the final verify joins only candidate ids back to their gram sets.
+    """
+    r = num_hashes // bands
+    g = df.select(
+        F.col(id_col).alias("id"),
+        word_ngrams(F.col(text_col), n).alias("grams"),
+    ).withColumn("sig", minhash_signature(F.col("grams"), num_hashes))
+
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(",", *[F.col("sig")[b * r + i] for i in range(r)])
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = g.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "key"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
+        .distinct()
+    )
+    ga = g.select(F.col("id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = g.select(F.col("id").alias("doc_b"), F.col("grams").alias("gb"))
+    verified = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("ga"), F.col("gb")), 6).alias("jacc"),
+        )
+        .filter(F.col("jacc") >= threshold)
+    )
+    return verified
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+@F.pandas_udf(T.LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (vectorized numpy popcount).
+
+    Token hash = splitmix64 of Python's stable md5-derived int (NOT
+    builtin hash(), which is salted per-process). Deterministic everywhere.
+    """
+    import hashlib
+
+    out = np.empty(len(texts), dtype=np.int64)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        if not toks:
+            out[i] = 0
+            continue
+        hs = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+                for w in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in range(64):
+            if votes[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        out[i] = sig.astype(np.int64) if sig < (1 << 63) else np.int64(sig - (1 << 64))
+    return pd.Series(out)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with SimHash hamming distance ≤ max_hamming.
+
+    Candidate generation: 4 × 16-bit bands (pigeonhole: distance ≤ 3 ⇒ at
+    least one identical band). Verification: exact popcount on the pair.
+    """
+    s = df.select(F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("sig"))
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("sig"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+        )
+        for b in range(4)
+    ]
+    banded = s.select("id", "sig", F.explode(F.array(*bands)).alias("bk")).select(
+        "id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "key"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("doc_a"),
+            F.col("y.id").alias("doc_b"),
+            F.col("x.sig").alias("sa"),
+            F.col("y.sig").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exactness baseline, native higher-order
+  exprs (zip_with + aggregate) — no Python in the hot loop
+- LSH-bucketed ANN (random hyperplanes): the scale path — candidates share
+  a signature bucket, so cost is O(n·probes) not O(n²); recall traded via
+  number of hyperplanes/probe radius
+- cosine near-dup pairs: same machinery, symmetric output
+
+Dot products accumulate in DOUBLE over float32 inputs, left-to-right —
+both Spark's ``aggregate`` and DuckDB's list functions do the same, which
+keeps the top-k ordering oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# native vector math
+# --------------------------------------------------------------------------
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+# --------------------------------------------------------------------------
+# brute-force top-k (exact baseline)
+# --------------------------------------------------------------------------
+
+def ann_bruteforce_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast queries × all vectors.
+
+    Scale shape: |queries| is small (broadcast side); the vectors scan is
+    embarrassingly parallel; per-partition partial top-k would be the next
+    optimization (TakeOrderedAndProject already bounds the sort).
+    Output: query_id, neighbor_id, rank (ids only — engine-portable).
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    scored = vectors.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col(query_id_col)
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 8).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+# --------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64,
+    n_planes: int = 8, seed: int = 42, out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane signature (int bucket 0..2^n_planes-1), numpy UDF."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = df.sparkSession.sparkContext.broadcast(planes)
+
+    @F.pandas_udf("int")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        pl = b.value
+        m = np.stack(vecs.to_numpy())  # (batch, dim) float32
+        proj = m.astype(np.float64) @ pl.T  # (batch, n_planes)
+        bits = (proj > 0).astype(np.int64)
+        weights = (1 << np.arange(pl.shape[0], dtype=np.int64))[None, :]
+        return pd.Series((bits * weights).sum(axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, bucket(F.col(vec_col)))
+
+
+def ann_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    n_planes: int = 6,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k restricted to LSH-bucket candidates (multi-probe).
+
+    Candidates: vectors whose hyperplane signature is within
+    ``probe_hamming`` bits of the query's (bit_count(xor) ≤ r) — an equi-
+    joinable approximation at r=0, a cheap broadcast-theta-join here since
+    the query side is small. Same output shape as the exact baseline so
+    recall is directly measurable.
+    """
+    v = with_lsh_bucket(vectors, vec_col, dim, n_planes, out_col="bucket")
+    q = with_lsh_bucket(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")),
+        "__qv", dim, n_planes, out_col="qbucket",
+    )
+    cand = v.join(
+        F.broadcast(q),
+        F.bit_count(
+            F.col("bucket").bitwiseXOR(F.col("qbucket")).cast("long")
+        ) <= probe_hamming,
+    ).filter(F.col(id_col) != F.col(query_id_col))
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 8).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """(a<b) pairs with cosine ≥ threshold, blocked (exact within block)."""
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
+        F.col(vec_col).alias("v"),
+    )
+    a = v.select(F.col("id").alias("id_a"), "blk", F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), "blk", F.col("v").alias("vb"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -464,6 +464,444 @@ FROM documents GROUP BY 1 ORDER BY lang_b
 
 
 # --------------------------------------------------------------------------
+# Dedup / similarity / text-analysis (training-data ops; operators/*)
+# --------------------------------------------------------------------------
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram-Jaccard near-dup pairs (lang-blocked self-join)."""
+    from nlnieuwscrawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.1).orderBy("doc_a", "doc_b")
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH g AS (
+  SELECT doc_id, lang,
+    list_distinct(list_transform(
+      range(1, greatest(len(string_split_regex(trim(lower(text)),'\\s+'))-2,0)+1),
+      i -> string_split_regex(trim(lower(text)),'\\s+')[i] || ' ' ||
+           string_split_regex(trim(lower(text)),'\\s+')[i+1] || ' ' ||
+           string_split_regex(trim(lower(text)),'\\s+')[i+2])) AS grams
+  FROM documents
+)
+SELECT doc_a, doc_b, jacc FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_filter(a.grams, x -> list_contains(b.grams, x)))::DOUBLE /
+           (len(a.grams) + len(b.grams)
+            - len(list_filter(a.grams, x -> list_contains(b.grams, x)))), 6) AS jacc
+  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+) WHERE jacc >= 0.1
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates, exact-Jaccard verified (scale path).
+
+    No oracle SQL (Spark xxhash64 signatures) — rows-only check; recall vs
+    the exact pairs is asserted in tests/test_dedup.py.
+    """
+    from nlnieuwscrawler_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.1).orderBy("doc_a", "doc_b")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash hamming≤3 near-dup pairs (banded candidates). Rows-only."""
+    from nlnieuwscrawler_spark.operators.dedup import simhash_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for query vectors vec_id<5."""
+    from nlnieuwscrawler_spark.operators.similarity import ann_bruteforce_topk
+
+    em = load(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_bruteforce_topk(em, q, k=5).orderBy("query_id", "rank")
+
+
+ORACLE_ANN_BRUTE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(
+           list_sum(list_transform(range(1, len(e.embedding)+1),
+                    i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))),
+           8) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN top-5 (multi-probe hamming≤1). Rows-only; recall
+    vs brute force asserted in tests/test_similarity.py."""
+    from nlnieuwscrawler_spark.operators.similarity import ann_lsh_topk
+
+    em = load(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_lsh_topk(em, q, k=5).orderBy("query_id", "rank")
+
+
+def q_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within label blocks (cos ≥ 0.4)."""
+    from nlnieuwscrawler_spark.operators.similarity import cosine_neardup_pairs
+
+    em = load(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(em, threshold=0.4).orderBy("id_a", "id_b")
+
+
+ORACLE_COSINE_NEARDUP = """
+SELECT id_a, id_b, cos FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum(list_transform(range(1, len(a.embedding)+1),
+                    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+           6) AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cos >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic language-ID confusion counts vs the labeled lang column."""
+    from nlnieuwscrawler_spark.functions.text import lang_id
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.coalesce("lang", F.lit("??")).alias("lang_label"),
+                 lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang_label", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang_label", "pred_lang")
+    )
+
+
+_NL = "de|het|een|en|van|in|op|te|met|voor|dat|die|is|zijn|niet|aan|ook|naar"
+_EN = "the|a|an|and|of|to|in|is|are|was|for|on|with|as|by|at|that|this"
+_DE = "der|die|das|und|ist|nicht|mit|ein|eine|zu|den|von|im|für|auf|sich"
+
+ORACLE_LANG_ID = f"""
+WITH votes AS (
+  SELECT coalesce(lang, '??') AS lang_label,
+         len(regexp_extract_all(lower(text), '\\b({_NL})\\b')) AS nl,
+         len(regexp_extract_all(lower(text), '\\b({_EN})\\b')) AS en,
+         len(regexp_extract_all(lower(text), '\\b({_DE})\\b')) AS de
+  FROM documents
+)
+SELECT lang_label,
+       CASE WHEN greatest(nl, en, de) = 0 THEN 'und'
+            WHEN nl = greatest(nl, en, de) THEN 'nl'
+            WHEN en = greatest(nl, en, de) THEN 'en'
+            ELSE 'de' END AS pred_lang,
+       count(*) AS n
+FROM votes GROUP BY 1, 2 ORDER BY lang_label, pred_lang
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex segmentation."""
+    from nlnieuwscrawler_spark.functions.text import (
+        token_count_bpeish,
+        token_count_ws,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        token_count_bpeish(F.col("text")).alias("n_bpeish_tokens"),
+    )
+
+
+ORACLE_TOKEN_STATS = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish_tokens
+FROM documents
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    """Quality-gate score distribution (pinned composite score)."""
+    from nlnieuwscrawler_spark.functions.text import quality_score
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(quality_score(F.col("text")).alias("score"))
+        .groupBy("score")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("score")
+    )
+
+
+ORACLE_QUALITY = """
+WITH f AS (
+  SELECT length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace
+  FROM documents
+), s AS (
+  SELECT round(
+    (CASE WHEN n_tokens >= 5 AND n_chars >= 30 THEN 0.4 ELSE 0.0 END) +
+    (CASE WHEN n_chars > 0 AND round(n_punct::DOUBLE / n_chars, 6) <= 0.2 THEN 0.2
+          WHEN n_chars = 0 THEN 0.2 ELSE 0.0 END) +
+    (CASE WHEN n_chars > 0 AND round(n_digit::DOUBLE / n_chars, 6) <= 0.3 THEN 0.2
+          WHEN n_chars = 0 THEN 0.2 ELSE 0.0 END) +
+    (CASE WHEN n_tokens > 0
+               AND round(n_nonspace::DOUBLE / n_tokens, 4) BETWEEN 2.0 AND 12.0
+          THEN 0.2 ELSE 0.0 END), 2) AS score
+  FROM f
+)
+SELECT score, count(*) AS n_docs FROM s GROUP BY score ORDER BY score
+"""
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (rolling-hash min-sampling).
+    Rows-only (hash algorithm is engine-side numpy)."""
+    from nlnieuwscrawler_spark.functions.text import winnow_fingerprints_udf
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(winnow_fingerprints_udf(F.col("text"))).alias("n_fingerprints"),
+        F.array_min(winnow_fingerprints_udf(F.col("text"))).alias("min_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization, sliding windows, streaming, multimodal
+# --------------------------------------------------------------------------
+
+def q_session_stats(spark, sf_dir):
+    """Batch sessionization (gaps-and-islands ≡ session_window semantics)."""
+    from nlnieuwscrawler_spark.operators.windows import session_stats
+
+    e = load(spark, sf_dir, "events")
+    return session_stats(e, "user_id", "ts", gap_seconds=1800).select(
+        "user_id", "session_id", "n_events", "session_start", "session_end",
+        F.round("span_sec", 3).alias("span_sec"),
+    )
+
+
+ORACLE_SESSION = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessioned AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       count(*)  AS n_events,
+       min(ts)   AS session_start,
+       max(ts)   AS session_end,
+       round(epoch(max(ts)) - epoch(min(ts)), 3) AS span_sec
+FROM sessioned GROUP BY user_id, session_id
+"""
+
+
+def q_sliding_window(spark, sf_dir):
+    """Sliding window (2h width, 1h slide) event counts — batch F.window."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "n")
+        .orderBy("win_start")
+    )
+
+
+ORACLE_SLIDING = """
+SELECT win_start, count(*) AS n FROM (
+  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                 date_trunc('hour', ts)]) AS win_start
+  FROM events
+) GROUP BY win_start ORDER BY win_start
+"""
+
+
+def _stream_events(spark, sf_dir):
+    """readStream over the events parquet with watermark-compatible ts
+    (parquet reads as TIMESTAMP_NTZ in Spark 4; watermarks need TIMESTAMP —
+    the UTC session TZ makes the cast value-preserving). FileStreamSource
+    needs a DIRECTORY, so the single driver file is symlinked into one.
+    """
+    import hashlib
+    import os
+
+    d = f"/tmp/nlnc_stream_events_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    schema = load(spark, sf_dir, "events").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def q_stream_hourly(spark, sf_dir):
+    """REAL Structured Streaming: watermarked tumbling window over a
+    readStream of the events parquet, memory sink, availableNow trigger —
+    result must equal the batch date_trunc oracle."""
+    stream = _stream_events(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("hour"), "n")
+    )
+    name = "q_stream_hourly_sink"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("hour").cast("timestamp_ntz").alias("hour"), "n"
+    ).orderBy("hour")
+
+
+ORACLE_STREAM_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+FROM events GROUP BY 1 ORDER BY hour
+"""
+
+
+def q_stream_dedup_users(spark, sf_dir):
+    """Streaming stateful dedup (dropDuplicatesWithinWatermark on user_id):
+    the streaming URL-seen shape. Count of survivors == COUNT(DISTINCT)."""
+    from nlnieuwscrawler_spark.streaming.stream import streaming_dedup
+
+    stream = _stream_events(spark, sf_dir)
+    dedup = streaming_dedup(stream, key_col="user_id", ts_col="ts", watermark="3650 days")
+    name = "q_stream_dedup_sink"
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).agg(F.count("*").alias("n_unique_users"))
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT count(DISTINCT user_id) AS n_unique_users FROM events
+"""
+
+
+def q_stateful_budget(spark, sf_dir):
+    """Arbitrary stateful streaming (applyInPandasWithState): per-host
+    admission budget over a synthesized host column. Admitted-per-host must
+    equal least(budget, host volume)."""
+    from nlnieuwscrawler_spark.streaming.stream import stateful_host_budget
+
+    stream = _stream_events(spark, sf_dir)
+    cand = stream.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("host"),
+        F.col("event_id").alias("url_fp"),
+    )
+    gated = stateful_host_budget(cand, total_budget=50)
+    name = "q_stateful_budget_sink"
+    q = (
+        gated.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("host")
+        .agg(F.sum(F.when(F.col("admitted"), 1).otherwise(0)).alias("n_admitted"))
+        .orderBy("host")
+    )
+
+
+ORACLE_STATEFUL_BUDGET = """
+SELECT 'h' || (user_id % 20)::VARCHAR AS host,
+       least(50, count(*)) AS n_admitted
+FROM events GROUP BY 1 ORDER BY host
+"""
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload column → mapInPandas decode
+    (deterministic fake backend) → per-kind stats. Byte counts oracle-able;
+    feature values are engine-side."""
+    from nlnieuwscrawler_spark.multimodal.media import (
+        decode_features,
+        synth_media_from_documents,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    media = synth_media_from_documents(d)
+    feats = decode_features(media, backend="fake")
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_bytes").alias("sum_bytes"),
+            F.max(F.size("feature")).alias("dim"),
+        )
+        .orderBy("kind")
+    )
+
+
+ORACLE_MEDIA = """
+SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       count(*) AS n_items,
+       sum(octet_length(encode(text))) AS sum_bytes,
+       32 AS dim
+FROM documents GROUP BY 1 ORDER BY kind
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -484,7 +922,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "text_quality": q_text_quality,
     "lang_gate": q_lang_gate,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_lsh": q_ann_lsh,
+    "cosine_neardup": q_cosine_neardup,
+    "lang_id": q_lang_id,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "session_stats": q_session_stats,
+    "sliding_window": q_sliding_window,
+    "stream_hourly": q_stream_hourly,
+    "stream_dedup_users": q_stream_dedup_users,
+    "stateful_budget": q_stateful_budget,
+    "media_features": q_media_features,
 }
+
+#: queries with no DuckDB oracle (engine-side hash/sketch algorithms) —
+#: the driver records a rows-only check; cross-validated in pytest instead
+#: (LSH recall vs exact pairs, SimHash determinism, winnowing properties).
+NO_ORACLE = {"minhash_lsh_pairs", "simhash_pairs", "ann_lsh", "winnow_fingerprints"}
 
 ORACLE: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING,
@@ -503,4 +962,16 @@ ORACLE: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "text_quality": ORACLE_TEXT_QUALITY,
     "lang_gate": ORACLE_LANG_GATE,
+    "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
+    "ann_bruteforce": ORACLE_ANN_BRUTE,
+    "cosine_neardup": ORACLE_COSINE_NEARDUP,
+    "lang_id": ORACLE_LANG_ID,
+    "token_stats": ORACLE_TOKEN_STATS,
+    "quality_scores": ORACLE_QUALITY,
+    "session_stats": ORACLE_SESSION,
+    "sliding_window": ORACLE_SLIDING,
+    "stream_hourly": ORACLE_STREAM_HOURLY,
+    "stream_dedup_users": ORACLE_STREAM_DEDUP,
+    "stateful_budget": ORACLE_STATEFUL_BUDGET,
+    "media_features": ORACLE_MEDIA,
 }

@@ -1,0 +1,115 @@
+"""Cross-validation for the sketch-based ops that have no SQL oracle:
+MinHash-LSH recall vs exact Jaccard, SimHash determinism + planted dups,
+LSH-ANN recall vs brute force, winnowing guarantees.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nlnieuwscrawler_spark.operators import dedup, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """LSH candidates must contain every high-Jaccard exact pair (the
+    verify step makes precision exact, so the only risk is recall)."""
+    # block_col=None: LSH is unblocked, so compare against unblocked exact
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, block_col=None, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    missed = exact - lsh
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+    # precision is exact by construction (verified with true Jaccard)
+    assert lsh <= exact
+
+
+def test_minhash_deterministic_across_partitioning(spark, docs):
+    one = dedup.minhash_lsh_pairs(docs.repartition(1), threshold=0.1)
+    many = dedup.minhash_lsh_pairs(docs.repartition(7), threshold=0.1)
+    assert one.exceptAll(many).count() == 0 and many.exceptAll(one).count() == 0
+
+
+def test_simhash_planted_duplicate(spark, docs):
+    """A doc vs itself with one word changed → tiny hamming distance."""
+    base = docs.limit(1).collect()[0]
+    toks = base["text"].split()
+    mutated = " ".join(toks[:-1] + ["zzz"])
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [base["text"], mutated, "totally different words entirely unrelated content here"]}
+    )
+    df = spark.createDataFrame(pdf)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(df, max_hamming=10).collect()
+    }
+    assert (1, 2) in pairs, "near-identical docs must collide in a band"
+    assert pairs[(1, 2)] <= 10
+    assert (1, 3) not in pairs or pairs[(1, 3)] > pairs[(1, 2)]
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = similarity.ann_bruteforce_topk(embeddings, q, k=5)
+    # random 64-d vectors are near-orthogonal (top-neighbor cos ≈ 0.45 →
+    # per-plane agreement only ≈ 0.65), so recall needs wide multi-probe;
+    # real embedding clusters sit much closer and need fewer probes.
+    lsh = similarity.ann_lsh_topk(embeddings, q, k=5, n_planes=4, probe_hamming=2)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    l = {(r["query_id"], r["neighbor_id"]) for r in lsh.collect()}
+    recall = len(b & l) / len(b)
+    assert recall >= 0.6, f"LSH-ANN recall too low: {recall}"
+
+
+def test_winnowing_shared_substring(spark):
+    """Winnowing guarantee: docs sharing a ≥ W+K-1 char run share a print."""
+    from nlnieuwscrawler_spark.functions.text import winnow_fingerprints_udf
+
+    shared = "identieke gedeelde zin die lang genoeg is"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "aaa " + shared + " unieke staart een",
+                "bbb andere aanhef maar " + shared + " toch",
+                "volstrekt ongerelateerde inhoud zonder overlap q9z8",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rows = df.select(
+        "doc_id", winnow_fingerprints_udf(F.col("text")).alias("fps")
+    ).collect()
+    fps = {r["doc_id"]: set(r["fps"]) for r in rows}
+    assert fps[1] & fps[2], "shared substring must yield a shared fingerprint"
+    assert not (fps[1] & fps[3] & fps[2]) or len(fps[1] & fps[3]) < len(fps[1] & fps[2])
+
+
+def test_exact_dedup_representative(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": [10, 7, 3, 9], "text": ["x y z", "x y z", "a b", "x y z"]}
+    )
+    out = dedup.dedup_exact(spark.createDataFrame(pdf)).collect()
+    m = {r["keep_id"]: r["n_copies"] for r in out}
+    assert m == {7: 3, 3: 1}

@@ -12,7 +12,7 @@ import duckdb
 import pandas as pd
 import pytest
 
-from nlnieuwscrawler_spark.queries import ORACLE, QUERIES, TABLES
+from nlnieuwscrawler_spark.queries import NO_ORACLE, ORACLE, QUERIES, TABLES
 
 
 @pytest.fixture(scope="module")
@@ -34,6 +34,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_duckdb(spark, sf_dir, duck, name):
+    if name in NO_ORACLE:
+        assert name not in ORACLE
+        n = QUERIES[name](spark, sf_dir).count()
+        assert n >= 0  # rows-only (cross-validated in dedicated tests)
+        return
     assert name in ORACLE, f"{name} lacks oracle SQL (move to NO_ORACLE if intended)"
     got = _normalize(QUERIES[name](spark, sf_dir).toPandas())
     want = _normalize(duck.sql(ORACLE[name]).df())

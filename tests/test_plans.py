@@ -1,0 +1,96 @@
+"""Physical-plan checks: the Catalyst properties the 100 TB story rests on.
+
+These assert the plan SHAPE, not results: filters reach the parquet scan,
+projections prune columns (never read `html` unless extraction needs it),
+small dims broadcast, top-K compiles to TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nlnieuwscrawler_spark.operators import robots as robots_op
+from nlnieuwscrawler_spark.sources import fixtures
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    spark = df.sparkSession
+    return spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_to_parquet(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_orderkey", "l_quantity")
+    plan = _formatted(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_column_pruning_reads_only_projected(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.select("l_orderkey", "l_extendedprice")
+    plan = _formatted(q)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read and "l_extendedprice" in read
+    assert "l_comment" not in read and "l_shipdate" not in read
+
+
+def test_pages_scan_prunes_html_for_metrics(spark, tiny_pages_df):
+    """A metrics-only aggregate over pages must NOT read the fat html col."""
+    q = tiny_pages_df.groupBy("lang").agg(F.count("*").alias("n"))
+    read = [l for l in _formatted(q).splitlines() if "ReadSchema" in l][0]
+    assert "html" not in read, read
+    assert "text" not in read, read
+
+
+def test_robots_join_is_broadcast(spark):
+    cand = spark.createDataFrame(
+        [("nu.nl", "/sport/x.html", 1)], "host string, path string, url_fp long"
+    )
+    out = robots_op.robots_filter(cand, fixtures.robots_df(spark))
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_topk_is_take_ordered(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    q = o.orderBy(F.desc("o_totalprice")).limit(10)
+    assert "TakeOrderedAndProject" in _plan(q)
+
+
+def test_canonicalize_stays_jvm_side(spark):
+    """The canonicalizer must never cross into Python (no BatchEvalPython /
+    ArrowEvalPython). Note: its higher-order lambdas (aggregate/transform)
+    are JVM-interpreted rather than codegen'd — still vector-scan inputs,
+    still zero serde, still embarrassingly parallel."""
+    from nlnieuwscrawler_spark.functions import urls as U
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("source").alias("href")
+    )
+    q = df.select(
+        U.canonicalize(F.lit("https://nu.nl/a/"), F.col("href")).alias("canon")
+    )
+    plan = _plan(q)
+    assert "EvalPython" not in plan, plan
+
+
+def test_dedup_aggregate_is_partial_final(spark):
+    """discover_links dedup (min over struct) must keep map-side partial
+    aggregation — two agg nodes around one exchange. (Struct min has no
+    fixed-size buffer so Spark picks SortAggregate; partial+final is what
+    bounds the shuffle, and that's the property that matters at scale.)"""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.groupBy("l_orderkey").agg(
+        F.min(F.struct("l_linenumber", "l_partkey")).alias("s")
+    )
+    plan = _plan(q)
+    assert plan.count("Aggregate") >= 2, plan
+    assert "partial_min" in plan or "partial" in plan.lower(), plan
+    assert "EvalPython" not in plan
