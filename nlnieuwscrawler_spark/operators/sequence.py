@@ -1,0 +1,84 @@
+"""Distributed global sequence numbers (O19 crawl-order trace) at scale.
+
+``row_number() OVER (ORDER BY ...)`` forces every row through ONE task —
+a serial sort that caps scaling (Amdahl) once epochs carry 10^5+ rows.
+``global_sequence`` produces the identical numbering in parallel:
+
+1. ``repartitionByRange`` on the order key (parallel range shuffle) +
+   ``sortWithinPartitions`` — globally sorted across ordered partitions;
+2. one cheap job counts rows per partition;
+3. ``mapInPandas`` enumerates each partition with its broadcast offset.
+
+The result is ``localCheckpoint``-materialized before returning: range
+boundaries come from RangePartitioner SAMPLING, so any re-planning that
+misses the cache (e.g. exceptAll's attribute dedup) would re-sample new
+boundaries and silently re-number rows under the frozen offsets. Lineage
+truncation makes the numbering a fact, not a recipe.
+
+Equality with the window form is pinned by tests/test_sequence.py and by
+the oracle-equivalence suite (crawl seq is compared row-for-row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark import StorageLevel, TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def global_sequence(
+    df: DataFrame,
+    order_cols: list,
+    seq_col: str = "seq",
+    base: int = 0,
+    num_partitions: int | None = None,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Add ``seq_col`` = global 1-based rank by ``order_cols`` (+ base).
+
+    ``order_cols`` must be a TOTAL order (unique key tuples) — same
+    requirement the deterministic-trace contract already imposes.
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism * 2
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {
+        r["pid"]: r["n"]
+        for r in ranged.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    offsets = {}
+    acc = base
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    bc = spark.sparkContext.broadcast(offsets)
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(seq_col, T.LongType(), False)]
+    )
+
+    def enumerate_partition(batches):
+        pid = TaskContext.get().partitionId()
+        pos = bc.value.get(pid, 0)
+        for pdf in batches:
+            n = len(pdf)
+            pdf = pdf.copy()
+            pdf[seq_col] = np.arange(pos + 1, pos + 1 + n, dtype=np.int64)
+            pos += n
+            yield pdf
+
+    out = ranged.mapInPandas(enumerate_partition, out_schema).localCheckpoint(
+        eager=True
+    )
+    ranged.unpersist()
+    if cache_registry is not None:
+        cache_registry.append(out)
+    return out

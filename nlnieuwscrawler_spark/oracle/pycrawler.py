@@ -35,7 +35,14 @@ class FrontierEntry:
 
 
 class OracleCrawler:
-    def __init__(self, pages: pd.DataFrame, robots=None, max_depth: int = spec.MAX_DEPTH):
+    def __init__(
+        self,
+        pages: pd.DataFrame,
+        robots=None,
+        max_depth: int = spec.MAX_DEPTH,
+        epoch_seconds: float = spec.EPOCH_SECONDS,
+    ):
+        self.epoch_seconds = epoch_seconds
         # fetch index: latest warc_ts snapshot per url
         idx = pages.sort_values("warc_ts").groupby("url", sort=False).tail(1)
         self.pages = {
@@ -90,7 +97,7 @@ class OracleCrawler:
         for host, entries in by_host.items():
             entries.sort(key=lambda e: (-e.priority, e.discovered_epoch, e.fp))
             delay = self._crawl_delay(host)
-            budget = spec.host_budget(delay)
+            budget = max(1, int(self.epoch_seconds / delay))
             for rank, e in enumerate(entries[:budget], start=1):
                 scheduled.append(((rank - 1) * delay, host, e.fp, e))
 
@@ -120,7 +127,7 @@ class OracleCrawler:
                     "host": host,
                     "depth": e.depth,
                     "fetch_ts": BASE_TS
-                    + dt.timedelta(seconds=epoch * spec.EPOCH_SECONDS + offset),
+                    + dt.timedelta(seconds=epoch * self.epoch_seconds + offset),
                     "status": status,
                 }
             )

@@ -38,6 +38,8 @@ class CrawlConfig:
     bloom_expected_keys: int = 1 << 20
     use_bloom: bool = True
     checkpoint: bool = True
+    epoch_seconds: float | None = None  # None → spec.EPOCH_SECONDS (30s)
+    distributed_trace: bool = False  # distributed seq (recrawl-scale epochs)
 
 
 class Crawler:
@@ -66,7 +68,9 @@ class Crawler:
 
     # -- lifecycle -----------------------------------------------------------
     def start(self, seeds: DataFrame) -> None:
-        self.frontier = epoch_plan.seeds_frontier(seeds)
+        # materialize: the seed frontier is consumed by several jobs per
+        # epoch; lazy, it would re-canonicalize the seed list in each one
+        self.frontier = epoch_plan.seeds_frontier(seeds).localCheckpoint(eager=True)
         self.seen_keys = self.spark.createDataFrame([], SEEN_SCHEMA)
         if self.config.use_bloom:
             n_bits, n_hashes = seen_op.bloom_params(
@@ -104,6 +108,8 @@ class Crawler:
             bloom=self.bloom if self.config.use_bloom else None,
             salt=self.config.salt,
             seq_base=self.seq_base,
+            epoch_seconds=self.config.epoch_seconds,
+            distributed_trace=self.config.distributed_trace,
         )
         # materialize the epoch's log once; everything downstream reuses it
         log_cached = res.crawl_log.persist()
@@ -150,6 +156,8 @@ class Crawler:
             self.seen_keys = next_seen.localCheckpoint(eager=True)
             log_df = log_cached.localCheckpoint(eager=True)
         log_cached.unpersist()
+        for c in res.cached:
+            c.unpersist()
 
         self.crawl_log_parts.append(log_df)
         metrics = {

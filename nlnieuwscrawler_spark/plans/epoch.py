@@ -35,6 +35,8 @@ class EpochResult:
     frontier: DataFrame        # next epoch's frontier
     new_seen: DataFrame        # url_fp newly added to the seen set this epoch
     crawl_log: DataFrame       # this epoch's attempts (seq starts at 1)
+    cached: list = field(default_factory=list)  # persisted intermediates —
+    #                      caller unpersists after materializing the outputs
     metrics: dict = field(default_factory=dict)
 
 
@@ -57,9 +59,18 @@ def seeds_frontier(seeds: DataFrame) -> DataFrame:
 def discover_links(fetched_ok: DataFrame, epoch: int) -> DataFrame:
     """O13+O2'+O3: explode extracted hrefs → canonical, fingerprinted, deduped.
 
-    Dedup keeps the (min depth, min parent_fp) discovery — deterministic
-    under any partitioning via a struct-min hash aggregate (no window, no
-    sort; map-side partial agg shrinks the shuffle).
+    Two-level dedup, both deterministic struct-min hash aggregates:
+
+    1. COARSE: resolve hrefs to absolute strings (cheap regex/concat exprs)
+       and keep min (depth, parent_fp) per distinct absolute string — pages
+       link to the same targets over and over, so this cuts the expensive
+       normalization (dot segments, ports, media rejects) by the link
+       fan-in factor before it runs;
+    2. EXACT: full canonicalization on the survivors, then min-struct per
+       url_fp (distinct resolved strings can normalize to one canonical).
+
+    min is associative, so min∘min over the same (depth, parent_fp) order
+    equals the single-level dedup — pinned by the oracle-equivalence suite.
     """
     exploded = fetched_ok.select(
         F.col("url").alias("parent_url"),
@@ -67,17 +78,23 @@ def discover_links(fetched_ok: DataFrame, epoch: int) -> DataFrame:
         (F.col("depth") + 1).alias("depth"),
         F.explode("links").alias("href"),
     ).filter(F.col("depth") <= spec.MAX_DEPTH)
-    canon = exploded.withColumn(
-        "child_url", U.canonicalize(F.col("parent_url"), F.col("href"))
+    resolved = exploded.withColumn(
+        "abs_url", U.resolve_href(F.col("parent_url"), F.col("href"))
+    ).filter(F.col("abs_url").isNotNull())
+    coarse = resolved.groupBy("abs_url").agg(
+        F.min(F.struct("depth", "parent_fp")).alias("__c")
+    )
+    canon = coarse.withColumn(
+        "child_url", U.normalize_url(F.col("abs_url"))
     ).filter(F.col("child_url").isNotNull())
     cand = canon.select(
         F.col("child_url").alias("url"),
         U.url_fingerprint(F.col("child_url")).alias("url_fp"),
         U.url_host(F.col("child_url")).alias("host"),
-        "depth",
-        (-F.col("depth")).cast("double").alias("priority"),
+        F.col("__c.depth").alias("depth"),
+        (-F.col("__c.depth")).cast("double").alias("priority"),
         F.lit(epoch).alias("discovered_epoch"),
-        "parent_fp",
+        F.col("__c.parent_fp").alias("parent_fp"),
     )
     packed = cand.groupBy("url_fp").agg(
         F.min(
@@ -104,6 +121,8 @@ def run_epoch(
     bloom: seen_op.BloomState | None = None,
     salt: int = 1,
     seq_base: int = 0,
+    epoch_seconds: float | None = None,
+    distributed_trace: bool = False,
 ) -> EpochResult:
     """One micro-batch. ``pages_latest`` must be one row per url (pre-reduced
     by operators.asof.latest_snapshot — do it once per crawl, not per epoch).
@@ -117,7 +136,9 @@ def run_epoch(
     )
 
     # O8/O9/O10 politeness + salted priority rank
-    sched = politeness.epoch_schedule(allowed, epoch, salt=salt)
+    sched = politeness.epoch_schedule(
+        allowed, epoch, salt=salt, epoch_seconds=epoch_seconds
+    )
     deferred = allowed.select(FRONTIER_COLS).join(
         sched.select("url_fp"), "url_fp", "left_anti"
     ).select(FRONTIER_COLS)
@@ -134,13 +155,21 @@ def run_epoch(
         how="left",
     )
 
-    # O12 extract (Arrow UDF) + O14 lang gate
+    # O12 extract (Arrow UDF) + O14 lang gate.
+    # Explicit repartition before the UDF: extraction is CPU-bound per ROW,
+    # but AQE coalesces post-join partitions by BYTES — without this, a
+    # small-bytes/high-cpu batch lands on 1-2 tasks and the stage serializes
+    # no matter how many executor cores exist.
+    parallelism = fetched.sparkSession.sparkContext.defaultParallelism
+    fetched = fetched.repartition(parallelism * 2)
     ext = fetched.withColumn("__e", extract_udf(F.col("html")))
     gated = ext.select(
         "url", "url_fp", "host", "depth", "priority", "discovered_epoch",
         "sched_offset", "fetch_ts_offset", "corpus_lang",
         F.col("__e.title").alias("title"),
-        F.col("__e.text").alias("text"),
+        # hash the body immediately — the trace stores text_sha, never the
+        # text, so the fattest column stays out of every cache and shuffle
+        F.sha2(F.coalesce(F.col("__e.text"), F.lit("")), 256).alias("text_sha"),
         F.col("__e.links").alias("links"),
         F.col("__e.page_lang").alias("page_lang"),
         F.when(F.col("html").isNull(), F.lit("miss"))
@@ -153,45 +182,84 @@ def run_epoch(
         .alias("status"),
     )
 
-    # O19 crawl-order trace: deterministic global sequence
-    log = gated.withColumn(
-        "seq",
-        F.lit(seq_base)
-        + F.row_number().over(
-            Window.orderBy(
-                F.col("sched_offset").asc(), F.col("host").asc(), F.col("url_fp").asc()
-            )
-        ),
-    ).withColumn(
+    # ONE extraction pass: everything downstream (crawl_log, link discovery,
+    # frontier merge, metrics) forks from this persisted node — without it,
+    # each materializing job re-runs the fetch join + Arrow UDF.
+    gated = gated.persist()
+
+    # O19 crawl-order trace: deterministic global sequence. The window form
+    # is a single-task sort — fine for politeness-bounded epochs (10^2-10^4
+    # rows); the distributed form (range-partition + offset enumeration,
+    # operators/sequence.py) produces identical numbers for recrawl-scale
+    # epochs (10^6+). Equality pinned in tests.
+    cached: list = [gated]
+    if distributed_trace:
+        from nlnieuwscrawler_spark.operators.sequence import global_sequence
+
+        seq_src = gated.select(
+            "url", "url_fp", "host", "depth", "sched_offset", "fetch_ts_offset",
+            "corpus_lang", "title", "text_sha", "page_lang", "status",
+        )
+        log = global_sequence(
+            seq_src,
+            [F.col("sched_offset").asc(), F.col("host").asc(), F.col("url_fp").asc()],
+            seq_col="seq",
+            base=seq_base,
+            cache_registry=cached,
+        )
+    else:
+        log = gated.withColumn(
+            "seq",
+            (
+                F.lit(seq_base)
+                + F.row_number().over(
+                    Window.orderBy(
+                        F.col("sched_offset").asc(),
+                        F.col("host").asc(),
+                        F.col("url_fp").asc(),
+                    )
+                )
+            ).cast("long"),
+        )
+    log = log.withColumn(
         "fetch_ts",
         F.lit(BASE_TS)
         + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.col("fetch_ts_offset")),
-    ).withColumn("epoch", F.lit(epoch)).withColumn(
-        "text_sha", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256)
-    )
+    ).withColumn("epoch", F.lit(epoch))
     crawl_log = log.select(
         "epoch", "seq", "url", "url_fp", "host", "depth", "fetch_ts", "status",
         "title", "text_sha", "page_lang",
     )
 
-    # O13/O2'/O3 new links from ok pages, O5 unseen filter, O15 merge
-    ok = log.filter(F.col("status") == "ok").select(
+    # O13/O2'/O3 new links from ok pages, O5 unseen filter, O15 merge.
+    # Branch from `gated` (pre-seq-window): the global row_number is a
+    # single-partition sort, and hanging link discovery under it would
+    # serialize canonicalization of every discovered href.
+    ok = gated.filter(F.col("status") == "ok").select(
         "url", "url_fp", "depth", "links"
     )
     new_links = discover_links(ok, epoch)
     attempted_fps = sched.select("url_fp")
-    new_seen = attempted_fps.unionByName(denied_fps)
+    # persist: new_seen feeds the Bloom build, the seen-keys union AND the
+    # unseen filter — without this each consumer re-runs the rank pipeline
+    new_seen = attempted_fps.unionByName(denied_fps).persist()
+    cached.append(new_seen)
     # Bloom covers only the PRE-epoch seen set — probe it for the old keys,
     # then an exact (broadcastable, epoch-sized) anti-join for this epoch's
     # additions. Never let a Bloom miss skip an exact check it must make.
     unseen_old = seen_op.filter_unseen(
         new_links, seen_keys.select("url_fp"), "url_fp", bloom=bloom
     )
-    unseen = unseen_old.join(F.broadcast(new_seen), "url_fp", "left_anti")
+    # no broadcast hint: new_seen is budget-bound (small) in politeness mode
+    # but frontier-sized in recrawl mode — AQE picks broadcast when it fits
+    unseen = unseen_old.join(new_seen, "url_fp", "left_anti")
     # also drop anything already waiting in the deferred frontier
     fresh = unseen.join(deferred.select("url_fp"), "url_fp", "left_anti")
     next_frontier = deferred.unionByName(fresh.select(FRONTIER_COLS))
 
     return EpochResult(
-        frontier=next_frontier, new_seen=new_seen, crawl_log=crawl_log
+        frontier=next_frontier,
+        new_seen=new_seen,
+        crawl_log=crawl_log,
+        cached=cached,
     )

@@ -463,6 +463,190 @@ FROM documents GROUP BY 1 ORDER BY lang_b
 """
 
 
+def q_pivot_status(spark, sf_dir):
+    """Pivot orderstatus columns per priority (conditional-agg oracle)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_finished"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_PIVOT = """
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (o_orderstatus = 'F') AS n_finished,
+       count(*) FILTER (o_orderstatus = 'P') AS n_partial
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Non-equi (range) join: events within 24h after sampled order dates."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    e = load(spark, sf_dir, "events")
+    j = o.join(
+        e,
+        (e["ts"] >= o["o_orderdate"])
+        & (e["ts"] < F.col("o_orderdate") + F.expr("INTERVAL 24 HOURS")),
+        "inner",
+    )
+    return (
+        j.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_events"), dsum("value", 4).alias("sum_value"))
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_RANGE_JOIN = """
+SELECT o_orderkey, count(*) AS n_events,
+       round(sum(CAST(value AS DECIMAL(25,6))), 4)::DOUBLE AS sum_value
+FROM orders JOIN events
+  ON ts >= o_orderdate AND ts < o_orderdate + INTERVAL 24 HOURS
+WHERE o_orderkey % 100 = 0
+GROUP BY o_orderkey ORDER BY o_orderkey
+"""
+
+
+def q_correlated_above_avg(spark, sf_dir):
+    """Correlated-subquery shape: customers above their nation's mean
+    acctbal (expressed as window avg — same plan Catalyst decorrelates to)."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    return (
+        c.withColumn("nation_avg", F.avg("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_above"))
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE_CORRELATED = """
+SELECT c_nationkey, count(*) AS n_above
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def q_exists_parts(spark, sf_dir):
+    """EXISTS/IN-subquery shape via left-semi: parts with any qty>45 line."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        p.join(li.select(F.col("l_partkey").alias("p_partkey")), "p_partkey", "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_EXISTS = """
+SELECT p_brand, count(*) AS n_parts
+FROM part WHERE EXISTS (SELECT 1 FROM lineitem
+                        WHERE l_partkey = p_partkey AND l_quantity > 45)
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact percentiles (median / p90) per return flag."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+       round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_orders_per_year(spark, sf_dir):
+    """Date functions: extract/trunc/diff."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct(F.month("o_orderdate")).alias("n_months"),
+            F.max(F.dayofmonth("o_orderdate")).alias("max_dom"),
+        )
+        .orderBy("yr")
+    )
+
+
+ORACLE_PER_YEAR = """
+SELECT year(o_orderdate)::INT AS yr, count(*) AS n,
+       count(DISTINCT month(o_orderdate)) AS n_months,
+       max(day(o_orderdate))::INT AS max_dom
+FROM orders GROUP BY 1 ORDER BY yr
+"""
+
+
+def q_ntile_buckets(spark, sf_dir):
+    """ntile + first/last window analytics over customer balances."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+        .orderBy("quartile")
+    )
+
+
+ORACLE_NTILE = """
+SELECT quartile, count(*) AS n,
+       round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
+FROM (SELECT c_acctbal,
+             ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+      FROM customer)
+GROUP BY quartile ORDER BY quartile
+"""
+
+
+def q_map_props(spark, sf_dir):
+    """from_json → MapType + map functions over events.props."""
+    e = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        e.select(F.explode(F.map_keys(m)).alias("prop_key"))
+        .groupBy("prop_key")
+        .agg(F.count("*").alias("n"))
+        .orderBy("prop_key")
+    )
+
+
+ORACLE_MAP_PROPS = """
+SELECT prop_key, count(*) AS n FROM (
+  SELECT unnest(json_keys(props::JSON)) AS prop_key FROM events
+) GROUP BY prop_key ORDER BY prop_key
+"""
+
+
 # --------------------------------------------------------------------------
 # Dedup / similarity / text-analysis (training-data ops; operators/*)
 # --------------------------------------------------------------------------
@@ -922,6 +1106,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "text_quality": q_text_quality,
     "lang_gate": q_lang_gate,
+    "pivot_status": q_pivot_status,
+    "range_join": q_range_join,
+    "correlated_above_avg": q_correlated_above_avg,
+    "exists_parts": q_exists_parts,
+    "percentiles": q_percentiles,
+    "orders_per_year": q_orders_per_year,
+    "ntile_buckets": q_ntile_buckets,
+    "map_props": q_map_props,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -962,6 +1154,14 @@ ORACLE: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "text_quality": ORACLE_TEXT_QUALITY,
     "lang_gate": ORACLE_LANG_GATE,
+    "pivot_status": ORACLE_PIVOT,
+    "range_join": ORACLE_RANGE_JOIN,
+    "correlated_above_avg": ORACLE_CORRELATED,
+    "exists_parts": ORACLE_EXISTS,
+    "percentiles": ORACLE_PERCENTILES,
+    "orders_per_year": ORACLE_PER_YEAR,
+    "ntile_buckets": ORACLE_NTILE,
+    "map_props": ORACLE_MAP_PROPS,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
     "ann_bruteforce": ORACLE_ANN_BRUTE,
     "cosine_neardup": ORACLE_COSINE_NEARDUP,

@@ -163,6 +163,8 @@ def run_epoch_stream(
         state["seen"] = state["seen"].unionByName(
             res.new_seen.select("url_fp")
         ).localCheckpoint(eager=True)
+        for c in res.cached:
+            c.unpersist()
         state["seq"] += log.count()
         state["epoch"] += 1
         batches.append(log)

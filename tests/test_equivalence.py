@@ -100,6 +100,18 @@ def test_salting_is_pure_optimization(spark, tiny_pages_df, engine):
     pd.testing.assert_frame_equal(_log_frame(salted), _log_frame(engine))
 
 
+def test_distributed_trace_is_pure_optimization(spark, tiny_pages_df, engine):
+    """Range-partitioned seq enumeration ≡ single-window row_number."""
+    c = Crawler(
+        spark, tiny_pages_df, fixtures.robots_df(spark), store=None,
+        config=CrawlConfig(max_epochs=N_EPOCHS, use_bloom=True, salt=1,
+                           bloom_partitions=8, bloom_expected_keys=1 << 14,
+                           checkpoint=False, distributed_trace=True),
+    )
+    c.run(seeds=fixtures.seeds_df(spark))
+    pd.testing.assert_frame_equal(_log_frame(c), _log_frame(engine))
+
+
 def test_politeness_invariant(engine):
     """No two fetches of one host closer than its crawl_delay; per-epoch
     attempts per host never exceed the budget."""
@@ -117,6 +129,28 @@ def test_politeness_invariant(engine):
             assert (gaps >= delay - 1e-9).all(), f"{host} violates crawl_delay"
         per_epoch = grp.groupby("epoch").size()
         assert (per_epoch <= spec.host_budget(delay)).all(), f"{host} over budget"
+
+
+def test_epoch_length_parameterization(spark, tiny_pages_df, tiny_pages_pd):
+    """Longer epochs (bigger budgets) must still match the oracle — pins the
+    epoch_seconds threading the scaling bench relies on."""
+    c = Crawler(
+        spark, tiny_pages_df, fixtures.robots_df(spark), store=None,
+        config=CrawlConfig(max_epochs=2, use_bloom=False, checkpoint=False,
+                           epoch_seconds=120.0),
+    )
+    c.run(seeds=fixtures.seeds_df(spark))
+    o = OracleCrawler(tiny_pages_pd, epoch_seconds=120.0)
+    o.seed()
+    o.run(2)
+    got = _log_frame(c)
+    want = (
+        o.crawl_log_df()[
+            ["epoch", "seq", "url", "url_fp", "host", "depth", "fetch_ts", "status"]
+        ].sort_values("seq").reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 100
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
 def test_denied_hosts_never_fetched(engine):
