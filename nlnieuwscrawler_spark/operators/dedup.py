@@ -79,10 +79,16 @@ def ngram_jaccard_pairs(
     :func:`minhash_lsh_pairs`; this exact form is the verifier / small-N
     path). Output: doc_a, doc_b, jacc.
     """
+    # hash shingles to longs BEFORE the pairwise stage: array_intersect on
+    # int64 is ~20× cheaper than on strings across O(pairs) evaluations;
+    # Jaccard over hashed distinct sets equals Jaccard over the strings
+    # (xxhash64 collisions among ~10^2 grams/doc are ~2^-50 events)
     g = df.select(
         F.col(id_col).alias("id"),
         (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
-        word_ngrams(F.col(text_col), n).alias("grams"),
+        F.array_distinct(
+            F.transform(word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s))
+        ).alias("grams"),
     )
     a = g.select(
         F.col("id").alias("doc_a"), F.col("blk"), F.col("grams").alias("ga")
@@ -91,6 +97,12 @@ def ngram_jaccard_pairs(
         F.col("id").alias("doc_b"), F.col("blk"), F.col("grams").alias("gb")
     )
     pairs = a.join(b, on="blk").filter(F.col("doc_a") < F.col("doc_b"))
+    # size filter: jacc ≥ τ requires |small| ≥ τ·|large| — prunes pairs
+    # before the O(|a|+|b|) intersect (tight at high τ, loose at low)
+    pairs = pairs.filter(
+        F.least(F.size("ga"), F.size("gb"))
+        >= F.lit(threshold) * F.greatest(F.size("ga"), F.size("gb"))
+    )
     out = pairs.select(
         "doc_a",
         "doc_b",

@@ -1085,6 +1085,39 @@ FROM documents GROUP BY 1 ORDER BY kind
 """
 
 
+def q_approx_stats(spark, sf_dir):
+    """Approximate aggregates (HLL++ count-distinct, t-digest percentile).
+    Rows-only: approx values are engine-specific by design; exact twins are
+    covered by set_ops/percentiles."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+    ).orderBy("l_returnflag")
+
+
+def q_crawl_epoch(spark, sf_dir):
+    """The full crawl pipeline as a registry entry (rows-only): 2 epochs on
+    the deterministic fixture corpus → per-host/status counts. The strong
+    check for this path is the imperative-oracle equivalence suite."""
+    from nlnieuwscrawler_spark.plans.crawler import Crawler, CrawlConfig
+    from nlnieuwscrawler_spark.sources import fixtures
+
+    pages = fixtures.gen_pages_spark(spark, 400, partitions=4)
+    c = Crawler(
+        spark, pages, fixtures.robots_df(spark), store=None,
+        config=CrawlConfig(max_epochs=2, use_bloom=True, bloom_partitions=8,
+                           bloom_expected_keys=1 << 14, checkpoint=False),
+    )
+    c.run(seeds=fixtures.seeds_df(spark))
+    return (
+        c.crawl_log()
+        .groupBy("host", "status")
+        .agg(F.count("*").alias("n"), F.min("seq").alias("first_seq"))
+        .orderBy("host", "status")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1130,12 +1163,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup_users": q_stream_dedup_users,
     "stateful_budget": q_stateful_budget,
     "media_features": q_media_features,
+    "approx_stats": q_approx_stats,
+    "crawl_epoch": q_crawl_epoch,
 }
 
 #: queries with no DuckDB oracle (engine-side hash/sketch algorithms) —
 #: the driver records a rows-only check; cross-validated in pytest instead
 #: (LSH recall vs exact pairs, SimHash determinism, winnowing properties).
-NO_ORACLE = {"minhash_lsh_pairs", "simhash_pairs", "ann_lsh", "winnow_fingerprints"}
+NO_ORACLE = {
+    "minhash_lsh_pairs", "simhash_pairs", "ann_lsh", "winnow_fingerprints",
+    "approx_stats", "crawl_epoch",
+}
 
 ORACLE: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING,
