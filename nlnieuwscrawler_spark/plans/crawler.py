@@ -20,7 +20,7 @@ from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F  # noqa: F401 (used in metrics_cube)
 
 from nlnieuwscrawler_spark.operators import asof, seen as seen_op
 from nlnieuwscrawler_spark.plans import epoch as epoch_plan
@@ -206,3 +206,25 @@ class Crawler:
 
     def seen(self) -> DataFrame:
         return self.seen_keys
+
+    METRICS_SCHEMA = (
+        "epoch int, attempted long, fetched_ok long, lang_rejected long, missing long"
+    )
+
+    def metrics_df(self) -> DataFrame:
+        """O18: per-epoch fetch/dedup metrics as a DataFrame (empty-safe)."""
+        if not self.metrics_rows:
+            return self.spark.createDataFrame([], self.METRICS_SCHEMA)
+        return self.spark.createDataFrame(
+            pd.DataFrame(self.metrics_rows), self.METRICS_SCHEMA
+        )
+
+    def metrics_cube(self) -> DataFrame:
+        """O18 rollups: per-(epoch, host, status) counts with cube totals
+        over the crawl log (grouping_id distinguishes the levels)."""
+        return (
+            self.crawl_log()
+            .cube("epoch", "host", "status")
+            .agg(F.count("*").alias("n"), F.grouping_id().alias("gid"))
+            .orderBy("gid", "epoch", "host", "status")
+        )

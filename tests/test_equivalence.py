@@ -153,6 +153,18 @@ def test_epoch_length_parameterization(spark, tiny_pages_df, tiny_pages_pd):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_metrics_tables(engine):
+    """O18: per-epoch metrics + cube rollups are consistent with the log."""
+    m = engine.metrics_df().toPandas()
+    assert m["attempted"].sum() == engine.seq_base
+    cube = engine.metrics_cube().toPandas()
+    grand = cube[cube["gid"] == 7]
+    assert len(grand) == 1 and int(grand["n"].iloc[0]) == engine.seq_base
+    per_status = cube[cube["gid"] == 6].set_index("status")["n"]
+    assert per_status.sum() == engine.seq_base
+    assert int(per_status.get("ok", 0)) == m["fetched_ok"].sum()
+
+
 def test_denied_hosts_never_fetched(engine):
     log = engine.crawl_log().toPandas()
     assert not (log["host"] == "nrc.nl").any(), "disallow-all host must never be fetched"
