@@ -120,7 +120,11 @@ def minhash_signature(grams: Column, num_hashes: int = 32) -> Column:
 
     Each hash family member is xxhash64 seeded by a distinct literal; the
     min over the shingle set is a higher-order array_min(transform(...)).
-    Empty gram sets get signature of NULLs (never matches anything).
+    Empty gram sets produce an all-NULL signature — callers must filter
+    size(grams)==0 docs out BEFORE banding (concat_ws skips NULLs, so the
+    empty signature would otherwise put every empty doc into the same ''
+    band key in every band: one hot bucket with O(m²) candidate pairs).
+    :func:`minhash_lsh_pairs` does this.
     """
     return F.array(
         *[
@@ -150,10 +154,18 @@ def minhash_lsh_pairs(
     and the final verify joins only candidate ids back to their gram sets.
     """
     r = num_hashes // bands
-    g = df.select(
-        F.col(id_col).alias("id"),
-        word_ngrams(F.col(text_col), n).alias("grams"),
-    ).withColumn("sig", minhash_signature(F.col("grams"), num_hashes))
+    g = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_ngrams(F.col(text_col), n).alias("grams"),
+        )
+        # docs with no n-grams (< n tokens) can never be near-dups of
+        # anything (Jaccard 0 by convention); dropping them here also keeps
+        # their all-NULL signatures out of the banding stage, where they
+        # would all collide into one hot '' bucket (O(m²) candidates)
+        .filter(F.size("grams") > 0)
+        .withColumn("sig", minhash_signature(F.col("grams"), num_hashes))
+    )
 
     band_cols = [
         F.struct(

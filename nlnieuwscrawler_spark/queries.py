@@ -363,7 +363,7 @@ def q_json_props(spark, sf_dir):
 ORACLE_JSON = """
 SELECT event_type,
        count(*) AS n_with_k,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       (sum(CAST(json_extract_string(props, '$.k') AS BIGINT)))::BIGINT AS sum_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
 WHERE json_extract_string(props, '$.k') IS NOT NULL
@@ -457,7 +457,7 @@ def q_lang_gate(spark, sf_dir):
 ORACLE_LANG_GATE = """
 SELECT coalesce(lang, '??') AS lang_b,
        count(*) AS n_docs,
-       sum(CASE WHEN lang = 'nl' THEN 1 ELSE 0 END) AS n_dutch,
+       (sum(CASE WHEN lang = 'nl' THEN 1 ELSE 0 END))::BIGINT AS n_dutch,
        round((sum(length(text)))::DOUBLE / count(*), 4) AS avg_len
 FROM documents GROUP BY 1 ORDER BY lang_b
 """
@@ -490,14 +490,47 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 
 def q_range_join(spark, sf_dir):
-    """Non-equi (range) join: events within 24h after sampled order dates."""
+    """Non-equi (range) join, hash-join-shaped: events within 24h after a
+    deterministic per-order anchor timestamp synthesized inside the events'
+    actual Jan-2024 range (orders' own dates are 1992-2001 and would match
+    nothing — a vacuous check).
+
+    Scale plan: a 24h window touches at most two calendar days, so the
+    anchor side explodes to its two day buckets and the join runs as an
+    EQUI join on ``day_key`` with the range condition as a residual filter.
+    That plans as a shuffled hash join (AQE picks build side) instead of the
+    broadcast-nested-loop a raw theta join produces — the BNLJ is O(n*m)
+    and explodes at 100x scale, the bucketed form shuffles each side once.
+    Each event day matches exactly one of an anchor's two bucket rows, so
+    no dedup is needed.
+    """
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
-    e = load(spark, sf_dir, "events")
-    j = o.join(
-        e,
-        (e["ts"] >= o["o_orderdate"])
-        & (e["ts"] < F.col("o_orderdate") + F.expr("INTERVAL 24 HOURS")),
-        "inner",
+    a = o.select(
+        "o_orderkey",
+        F.expr(
+            "TIMESTAMP_NTZ '2024-01-01 00:00:00' + make_interval("
+            "0, 0, 0, CAST(o_orderkey % 28 AS INT), "
+            "CAST(o_orderkey % 24 AS INT), 0, 0)"
+        ).alias("anchor_ts"),
+    )
+    a2 = a.select(
+        "o_orderkey",
+        "anchor_ts",
+        F.explode(
+            F.array(
+                F.date_trunc("DAY", F.col("anchor_ts")),
+                F.date_trunc(
+                    "DAY", F.col("anchor_ts") + F.expr("INTERVAL 24 HOURS")
+                ),
+            )
+        ).alias("day_key"),
+    )
+    e = load(spark, sf_dir, "events").withColumn(
+        "day_key", F.date_trunc("DAY", F.col("ts"))
+    )
+    j = a2.join(e, "day_key").filter(
+        (F.col("ts") >= F.col("anchor_ts"))
+        & (F.col("ts") < F.col("anchor_ts") + F.expr("INTERVAL 24 HOURS"))
     )
     return (
         j.groupBy("o_orderkey")
@@ -507,11 +540,17 @@ def q_range_join(spark, sf_dir):
 
 
 ORACLE_RANGE_JOIN = """
+WITH a AS (
+  SELECT o_orderkey,
+         TIMESTAMP '2024-01-01'
+           + to_days((o_orderkey % 28)::INT)
+           + to_hours((o_orderkey % 24)::INT) AS anchor_ts
+  FROM orders WHERE o_orderkey % 100 = 0
+)
 SELECT o_orderkey, count(*) AS n_events,
        round(sum(CAST(value AS DECIMAL(25,6))), 4)::DOUBLE AS sum_value
-FROM orders JOIN events
-  ON ts >= o_orderdate AND ts < o_orderdate + INTERVAL 24 HOURS
-WHERE o_orderkey % 100 = 0
+FROM a JOIN events
+  ON ts >= anchor_ts AND ts < anchor_ts + INTERVAL 24 HOURS
 GROUP BY o_orderkey ORDER BY o_orderkey
 """
 
@@ -656,7 +695,11 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     from nlnieuwscrawler_spark.operators.dedup import ngram_jaccard_pairs
 
     d = load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, threshold=0.1).orderBy("doc_a", "doc_b")
+    # τ=0.7: realistic near-dup threshold — the |small| ≥ τ·|large| size
+    # prefilter prunes most pairs before the O(|a|+|b|) intersect (at the
+    # τ=0.1 this query used to run, the prefilter was toothless and this
+    # single query was 51% of the whole bench)
+    return ngram_jaccard_pairs(d, threshold=0.7).orderBy("doc_a", "doc_b")
 
 
 ORACLE_NGRAM_JACCARD = """
@@ -675,7 +718,7 @@ SELECT doc_a, doc_b, jacc FROM (
            (len(a.grams) + len(b.grams)
             - len(list_filter(a.grams, x -> list_contains(b.grams, x)))), 6) AS jacc
   FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
-) WHERE jacc >= 0.1
+) WHERE jacc >= 0.7
 ORDER BY doc_a, doc_b
 """
 
@@ -689,7 +732,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     from nlnieuwscrawler_spark.operators.dedup import minhash_lsh_pairs
 
     d = load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, threshold=0.1).orderBy("doc_a", "doc_b")
+    return minhash_lsh_pairs(d, threshold=0.7).orderBy("doc_a", "doc_b")
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -906,8 +949,8 @@ WITH marked AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), sessioned AS (
   SELECT user_id, ts,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
   FROM marked
 )
 SELECT user_id, session_id,
@@ -1079,7 +1122,7 @@ def q_media_features(spark, sf_dir):
 ORACLE_MEDIA = """
 SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        count(*) AS n_items,
-       sum(octet_length(encode(text))) AS sum_bytes,
+       (sum(octet_length(encode(text))))::BIGINT AS sum_bytes,
        32 AS dim
 FROM documents GROUP BY 1 ORDER BY kind
 """
@@ -1118,6 +1161,114 @@ def q_crawl_epoch(spark, sf_dir):
     )
 
 
+def q_left_outer_join(spark, sf_dir):
+    """Left OUTER join with genuinely unmatched left rows: customers vs
+    their big (>300k) orders — at sf0.01, 30/1500 customers have none, so
+    the null-padding path is actually exercised (coalesce + count(col)
+    null-skipping semantics). Shuffled hash join on o_custkey; at scale the
+    filtered right side is the build side (AQE picks it)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("o_orderkey").alias("n_big_orders"),
+            (F.count("*") - F.count("o_orderkey")).alias("n_unmatched"),
+            dsum(F.coalesce("o_totalprice", F.lit(0.0))).alias("big_total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_LEFT_OUTER = """
+SELECT c_mktsegment,
+       count(*) AS n_rows,
+       count(o_orderkey) AS n_big_orders,
+       count(*) - count(o_orderkey) AS n_unmatched,
+       round(sum(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(25,6))), 2)::DOUBLE
+         AS big_total
+FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+  ON c_custkey = o_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_union_all(spark, sf_dir):
+    """UNION ALL (unionByName) of two differently-sourced sides + per-key
+    counts and a distinct-source count — exercises the union operator the
+    frontier merge uses, directly oracled."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"), F.lit("cust").alias("src")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk"), F.lit("supp").alias("src")
+    )
+    u = c.unionByName(s)
+    return (
+        u.groupBy("nk")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("src").alias("n_sources"),
+        )
+        .orderBy("nk")
+    )
+
+
+ORACLE_UNION_ALL = """
+SELECT nk, count(*) AS n_rows, count(DISTINCT src) AS n_sources
+FROM (
+  SELECT c_nationkey AS nk, 'cust' AS src FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nk, 'supp' AS src FROM supplier
+)
+GROUP BY nk ORDER BY nk
+"""
+
+
+def q_udtf_tokens(spark, sf_dir):
+    """Python UDTF (Spark 3.5+/4 lateral-join surface): tokenize each
+    document into (idx, tok) rows. Arrow-optimized; this is the one
+    deliberately row-generating Python surface in the API matrix — the hot
+    path uses native explode/split instead (token_stats)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx: int, tok: string", useArrow=True)
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").strip().lower().split(), 1):
+                yield i, t
+
+    spark.udtf.register("tokenize", Tokenize)
+    load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 50) & (F.length(F.trim("text")) > 0)
+    ).createOrReplaceTempView("docs_small")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.idx, t.tok
+        FROM docs_small d, LATERAL tokenize(d.text) t
+        ORDER BY d.doc_id, t.idx
+        """
+    )
+
+
+ORACLE_UDTF_TOKENS = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents WHERE doc_id < 50 AND length(trim(text)) > 0
+)
+SELECT doc_id, u.idx AS idx, u.tok AS tok
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)+1),
+                               i -> {'idx': i::INT, 'tok': tk[i]})) AS u
+  FROM toks
+)
+ORDER BY doc_id, idx
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1141,6 +1292,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_gate": q_lang_gate,
     "pivot_status": q_pivot_status,
     "range_join": q_range_join,
+    "left_outer_join": q_left_outer_join,
+    "union_all": q_union_all,
+    "udtf_tokens": q_udtf_tokens,
     "correlated_above_avg": q_correlated_above_avg,
     "exists_parts": q_exists_parts,
     "percentiles": q_percentiles,
@@ -1194,6 +1348,9 @@ ORACLE: dict[str, str] = {
     "lang_gate": ORACLE_LANG_GATE,
     "pivot_status": ORACLE_PIVOT,
     "range_join": ORACLE_RANGE_JOIN,
+    "left_outer_join": ORACLE_LEFT_OUTER,
+    "union_all": ORACLE_UNION_ALL,
+    "udtf_tokens": ORACLE_UDTF_TOKENS,
     "correlated_above_avg": ORACLE_CORRELATED,
     "exists_parts": ORACLE_EXISTS,
     "percentiles": ORACLE_PERCENTILES,
