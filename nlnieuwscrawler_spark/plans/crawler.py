@@ -37,9 +37,14 @@ class CrawlConfig:
     bloom_partitions: int = 32
     bloom_expected_keys: int = 1 << 20
     use_bloom: bool = True
+    seen_filter_kind: str = "bloom"  # "bloom" | "cuckoo" (deletable)
     checkpoint: bool = True
     epoch_seconds: float | None = None  # None → spec.EPOCH_SECONDS (30s)
     distributed_trace: bool = False  # distributed seq (recrawl-scale epochs)
+
+    def _filter_cls(self):
+        return (seen_op.CuckooSeenSet if self.seen_filter_kind == "cuckoo"
+                else seen_op.BloomSeenSet)
 
 
 class Crawler:
@@ -62,7 +67,7 @@ class Crawler:
         self.seq_base = 0
         self.frontier: DataFrame | None = None
         self.seen_keys: DataFrame | None = None
-        self.bloom: seen_op.BloomState | None = None
+        self.bloom: seen_op.BloomSeenSet | None = None
         self.crawl_log_parts: list[DataFrame] = []
         self.metrics_rows: list[dict] = []
 
@@ -73,11 +78,10 @@ class Crawler:
         self.frontier = epoch_plan.seeds_frontier(seeds).localCheckpoint(eager=True)
         self.seen_keys = self.spark.createDataFrame([], SEEN_SCHEMA)
         if self.config.use_bloom:
-            n_bits, n_hashes = seen_op.bloom_params(
-                self.config.bloom_expected_keys, self.config.bloom_partitions
-            )
-            self.bloom = seen_op.BloomState(
-                self.config.bloom_partitions, n_bits, n_hashes
+            self.bloom = self.config._filter_cls().empty(
+                self.spark,
+                self.config.bloom_partitions,
+                self.config.bloom_expected_keys,
             )
 
     def resume(self) -> None:
@@ -91,9 +95,10 @@ class Crawler:
         self.frontier = self.store.read_table(self.spark, "frontier")
         self.seen_keys = self.store.read_table(self.spark, "seen_keys")
         if self.config.use_bloom:
-            rows = [r.asDict() for r in self.store.read_table(self.spark, "bloom").collect()]
-            self.bloom = seen_op.BloomState.from_partitions(
-                rows, self.config.bloom_partitions
+            # partition rows stay distributed — resume never collects bitmaps
+            self.bloom = self.config._filter_cls().from_df(
+                self.store.read_table(self.spark, "bloom"),
+                self.config.bloom_partitions,
             )
 
     # -- the loop --------------------------------------------------------------
@@ -121,21 +126,14 @@ class Crawler:
         next_seen = self.seen_keys.unionByName(res.new_seen.select("url_fp"))
 
         if self.config.use_bloom:
-            new_rows = seen_op.build_bloom_partitions(
-                res.new_seen,
-                "url_fp",
-                self.config.bloom_partitions,
-                self.config.bloom_expected_keys,
-            )
-            delta = seen_op.BloomState.from_partitions(
-                new_rows, self.config.bloom_partitions
-            )
-            self.bloom.merge(delta)
+            # executor-side delta build + OR-merge; driver sees a counter only
+            self.bloom.add_keys(res.new_seen, "url_fp")
 
         if self.store is not None and self.config.checkpoint:
-            bloom_df = self.spark.createDataFrame(
-                pd.DataFrame(self.bloom.to_rows()), BLOOM_SCHEMA
-            ) if self.config.use_bloom else self.spark.createDataFrame([], BLOOM_SCHEMA)
+            bloom_df = (
+                self.bloom.to_df() if self.config.use_bloom
+                else self.spark.createDataFrame([], BLOOM_SCHEMA)
+            )
             version = self.store.commit(
                 self.spark,
                 {
