@@ -52,9 +52,15 @@ def asof_join(
 
     General-purpose (events-style) as-of: join on the key, keep right rows
     not after the left timestamp, pick the latest via a descending
-    row_number over (left row identity). Deterministic tie-break on all
-    right columns is the caller's job if right_ts ties are possible.
+    row_number partitioned by a generated LEFT-ROW id — so duplicate left
+    rows sharing (on, left_ts) each keep their own match (partitioning on
+    (on, left_ts) would collapse them to one survivor). The unique id also
+    makes the window shuffle skew-free: every partition is one left row's
+    match set, so a hot join key can't serialize the rank stage.
+    Deterministic tie-break on right columns is the caller's job if
+    right_ts ties are possible.
     """
+    lid = "__asof_lid"
     lcols = left.columns
     rcols = [c for c in right.columns if c != on]
     r = right.select(
@@ -62,15 +68,20 @@ def asof_join(
         *[F.col(c).alias(c + suffix if c in lcols else c) for c in rcols],
     )
     rts = right_ts + suffix if right_ts in lcols else right_ts
-    joined = left.join(r, on=on, how="inner").filter(F.col(rts) <= F.col(left_ts))
-    w = Window.partitionBy(on, F.col(left_ts)).orderBy(F.col(rts).desc())
+    l = left.withColumn(lid, F.monotonically_increasing_id())
+    joined = l.join(r, on=on, how="inner").filter(F.col(rts) <= F.col(left_ts))
+    w = Window.partitionBy(lid).orderBy(F.col(rts).desc())
     best = joined.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") == 1
     ).drop("__rn")
     if how == "left":
-        missing = left.join(best.select(on, left_ts), on=[on, left_ts], how="left_anti")
-        for c in best.columns:
-            if c not in left.columns:
-                missing = missing.withColumn(c, F.lit(None))
+        missing = l.join(best.select(lid), on=lid, how="left_anti")
+        # pad with TYPED nulls: untyped F.lit(None) is NullType and drifts
+        # the schema if the result is written
+        for f in best.schema.fields:
+            if f.name not in l.columns:
+                missing = missing.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
         best = best.unionByName(missing.select(best.columns))
-    return best
+    return best.drop(lid)

@@ -292,6 +292,64 @@ FROM (
 """
 
 
+def q_asof_join_left(spark, sf_dir):
+    """The general asof_join operator, LEFT branch: per (user, tag) anchor,
+    the latest event at-or-before it; anchors in the first 6 h of the
+    events range so early-anchor users exercise the typed-null padding.
+    The tag explode gives DUPLICATE left rows per (user_id, anchor_ts) —
+    regression for the bug where partitioning the rank window on
+    (key, left_ts) silently dropped all but one duplicate."""
+    from nlnieuwscrawler_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    # (user_id, ts) unique on the right so the as-of pick is deterministic
+    right = e.groupBy("user_id", "ts").agg(F.max("event_id").alias("event_id"))
+    left = (
+        e.select("user_id").distinct()
+        .withColumn(
+            "anchor_ts",
+            F.expr(
+                "TIMESTAMP_NTZ '2024-01-01 00:00:00' + make_interval("
+                "0, 0, 0, 0, 0, CAST(user_id * 7 % 360 AS INT), 0)"
+            ),
+        )
+        .withColumn("tag", F.explode(F.array(F.lit("a"), F.lit("b"))))
+    )
+    j = asof_join(left, right, on="user_id", left_ts="anchor_ts",
+                  right_ts="ts", how="left")
+    # nullable timestamps as micros+sentinel: pandas 2.2 can't exact-compare
+    # datetime64[ns] (Spark) vs datetime64[us] (DuckDB) columns containing
+    # NaT, so the driver's hash check would false-fail on the NULL rows
+    return j.select(
+        "user_id", "tag", "anchor_ts",
+        # NTZ→TIMESTAMP is identity under the session's UTC timezone
+        F.coalesce(F.unix_micros(F.col("ts").cast("timestamp")), F.lit(-1))
+        .alias("event_ts_us"),
+        F.coalesce("event_id", F.lit(-1)).alias("event_id"),
+    ).orderBy("user_id", "tag")
+
+
+ORACLE_ASOF_JOIN_LEFT = """
+WITH r AS (
+  SELECT user_id, ts, max(event_id) AS event_id FROM events GROUP BY 1, 2
+), l AS (
+  SELECT user_id,
+         TIMESTAMP '2024-01-01' + to_minutes((user_id * 7 % 360)::INT) AS anchor_ts,
+         unnest(['a', 'b']) AS tag
+  FROM (SELECT DISTINCT user_id FROM events)
+)
+SELECT user_id, tag, anchor_ts,
+       coalesce(epoch_us(event_ts), -1) AS event_ts_us,
+       coalesce(event_id, -1) AS event_id
+FROM (
+  SELECT l.user_id, l.tag, l.anchor_ts, r.ts AS event_ts, r.event_id,
+         row_number() OVER (PARTITION BY l.user_id, l.tag
+                            ORDER BY r.ts DESC) AS rn
+  FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.ts <= l.anchor_ts
+) WHERE rn = 1 ORDER BY user_id, tag
+"""
+
+
 # --------------------------------------------------------------------------
 # String / datetime / JSON / array functions (O2, O12, O18 building blocks)
 # --------------------------------------------------------------------------
@@ -1128,6 +1186,38 @@ FROM documents GROUP BY 1 ORDER BY kind
 """
 
 
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: explode every-7th frame index from
+    meta['n_frames'] per video item, then per-item sampled-frame counts.
+    The explode→per-frame-row shape is what a real codec stage consumes."""
+    from nlnieuwscrawler_spark.multimodal.media import (
+        frame_sample_plan,
+        synth_media_from_documents,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    frames = frame_sample_plan(synth_media_from_documents(d), every_n=7)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.max("frame_idx").alias("max_idx"),
+        )
+        .orderBy("media_id")
+    )
+
+
+ORACLE_FRAME_SAMPLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, (doc_id % 50 + 1)::INT AS n_frames
+  FROM documents WHERE doc_id % 3 = 2  -- the fixture's 'video' rows
+)
+SELECT media_id, count(*) AS n_sampled, max(frame_idx) AS max_idx
+FROM (SELECT media_id, unnest(range(0, n_frames, 7)) AS frame_idx FROM m)
+GROUP BY media_id ORDER BY media_id
+"""
+
+
 def q_approx_stats(spark, sf_dir):
     """Approximate aggregates (HLL++ count-distinct, t-digest percentile).
     Rows-only: approx values are engine-specific by design; exact twins are
@@ -1283,6 +1373,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "rollup_metrics": q_rollup_metrics,
     "asof_latest_event": q_asof_latest_event,
+    "asof_join_left": q_asof_join_left,
     "string_funcs": q_string_funcs,
     "hourly_events": q_hourly_events,
     "json_props": q_json_props,
@@ -1317,6 +1408,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup_users": q_stream_dedup_users,
     "stateful_budget": q_stateful_budget,
     "media_features": q_media_features,
+    "frame_sample": q_frame_sample,
     "approx_stats": q_approx_stats,
     "crawl_epoch": q_crawl_epoch,
 }
@@ -1339,6 +1431,7 @@ ORACLE: dict[str, str] = {
     "set_ops": ORACLE_SET_OPS,
     "rollup_metrics": ORACLE_ROLLUP,
     "asof_latest_event": ORACLE_ASOF,
+    "asof_join_left": ORACLE_ASOF_JOIN_LEFT,
     "string_funcs": ORACLE_STRING,
     "hourly_events": ORACLE_HOURLY,
     "json_props": ORACLE_JSON,
@@ -1369,4 +1462,5 @@ ORACLE: dict[str, str] = {
     "stream_dedup_users": ORACLE_STREAM_DEDUP,
     "stateful_budget": ORACLE_STATEFUL_BUDGET,
     "media_features": ORACLE_MEDIA,
+    "frame_sample": ORACLE_FRAME_SAMPLE,
 }
