@@ -162,6 +162,13 @@ def main() -> None:
             "spark.driver.extraJavaOptions": (
                 f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(8, cores // 2)}"
             ),
+            # Arrow-UDF stages run 1 JVM thread + 1 Python worker per task —
+            # a task really consumes ~2 cores. Without this, local[32]
+            # oversubscribes 2x during extraction (64 runnable processes on
+            # 32 cores) and THROUGHPUT DROPS below local[24]/local[16]
+            # (measured: 9.5k vs 12.1k URLs/s). task.cpus=2 is the honest
+            # accounting, applied identically to both scaling legs.
+            "spark.task.cpus": "2",
         }
         if os.path.isdir("/dev/shm"):
             os.makedirs("/dev/shm/spark-tmp", exist_ok=True)

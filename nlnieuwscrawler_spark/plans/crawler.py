@@ -59,9 +59,24 @@ class Crawler:
         self.spark = spark
         self.config = config or CrawlConfig()
         self.robots = robots
-        # Pre-reduce the corpus to one row per url ONCE (the as-of index);
-        # persisted because every epoch's fetch join probes it.
-        self.pages_latest = asof.latest_snapshot(pages, "url", "warc_ts").persist()
+        # Pre-reduce the corpus to one row per url ONCE (the as-of index),
+        # keyed by the 64-bit url fingerprint, hash-partitioned to the
+        # session's shuffle-partition count and sorted by the join keys:
+        # the cached node then SATISFIES the per-epoch fetch join's
+        # distribution+ordering requirement, so the wide html payload is
+        # shuffled and sorted ZERO times per epoch — only the narrow
+        # frontier side moves. (Before: an exchange of the whole corpus
+        # per epoch, the recrawl bench's largest shuffle.)
+        from nlnieuwscrawler_spark.functions import urls as U
+
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        self.pages_latest = (
+            asof.latest_snapshot(pages, "url", "warc_ts")
+            .withColumn("url_fp", U.url_fingerprint(F.col("url")))
+            .repartition(n_shuffle, "url_fp")
+            .sortWithinPartitions("url_fp", "url")
+            .persist()
+        )
         self.store = store
         self.epoch = 0
         self.seq_base = 0

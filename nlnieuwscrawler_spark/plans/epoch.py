@@ -143,25 +143,34 @@ def run_epoch(
         sched.select("url_fp"), "url_fp", "left_anti"
     ).select(FRONTIER_COLS)
 
-    # O11 fetch simulation: equi-join the per-url latest-snapshot index
+    # O11 fetch simulation: equi-join the latest-snapshot index on
+    # (url_fp, url) — fp first so the cached index's hashpartitioning on
+    # the 8-byte fingerprint (Crawler pre-partitions + pre-sorts it) meets
+    # the join's distribution requirement: html never re-shuffles or
+    # re-sorts per epoch, only the narrow frontier side does. The url
+    # equality keeps semantics exact under (astronomically unlikely) fp
+    # collisions. Uncurated callers (streaming parity) may pass a plain
+    # url-keyed index — derive the fp column for them.
+    if "url_fp" not in pages_latest.columns:
+        pages_latest = pages_latest.withColumn(
+            "url_fp", U.url_fingerprint(F.col("url"))
+        )
     fetched = sched.join(
         pages_latest.select(
+            "url_fp",
             "url",
-            F.col("warc_ts"),
             F.col("html"),
             F.col("lang").alias("corpus_lang"),
         ),
-        on="url",
+        on=["url_fp", "url"],
         how="left",
     )
 
-    # O12 extract (Arrow UDF) + O14 lang gate.
-    # Explicit repartition before the UDF: extraction is CPU-bound per ROW,
-    # but AQE coalesces post-join partitions by BYTES — without this, a
-    # small-bytes/high-cpu batch lands on 1-2 tasks and the stage serializes
-    # no matter how many executor cores exist.
-    parallelism = fetched.sparkSession.sparkContext.defaultParallelism
-    fetched = fetched.repartition(parallelism * 2)
+    # O12 extract (Arrow UDF) + O14 lang gate. No repartition before the
+    # UDF: the join inherits the cached index's partition count (balanced
+    # by fp hash), which AQE cannot coalesce below — the old explicit
+    # repartition re-shuffled the html payload every epoch just to
+    # re-balance the extraction stage.
     ext = fetched.withColumn("__e", extract_udf(F.col("html")))
     gated = ext.select(
         "url", "url_fp", "host", "depth", "priority", "discovered_epoch",

@@ -53,6 +53,36 @@ class SnapshotStore:
         with open(path) as f:
             return json.load(f)
 
+    # -- hidden partition transforms (Iceberg bucket()/days() equivalents) --
+    # Keyed by name in the manifest, so each snapshot knows how its files
+    # were laid out and reads can prune without the caller naming the
+    # derived partition column (Iceberg's "hidden partitioning").
+    PARTITION_COL = "__p"
+
+    @staticmethod
+    def _transform_expr(kind: str, col: str, arg: int | None):
+        if kind == "bucket":
+            # engine keys are already 64-bit fingerprints — bucket = pmod.
+            # (Real Iceberg buckets re-hash; for pre-hashed longs pmod is
+            # the same uniformity with a pure-Python twin for pruning.)
+            return F.pmod(F.col(col), F.lit(arg))
+        if kind == "days":
+            return F.date_trunc("DAY", F.col(col)).cast("date").cast("string")
+        if kind == "identity":
+            return F.col(col)
+        raise ValueError(f"unknown partition transform {kind!r}")
+
+    @staticmethod
+    def _transform_value(kind: str, value, arg: int | None):
+        """Python twin of _transform_expr for read-side pruning."""
+        if kind == "bucket":
+            return value % arg if value >= 0 else (value % arg + arg) % arg
+        if kind == "days":
+            return str(value)[:10]
+        if kind == "identity":
+            return value
+        raise ValueError(f"unknown partition transform {kind!r}")
+
     # -- snapshot commit ---------------------------------------------------
     def commit(
         self,
@@ -62,26 +92,47 @@ class SnapshotStore:
         extra: dict[str, Any] | None = None,
         lineage_bucket_col: str | None = "url_fp",
         n_lineage_buckets: int = 16,
+        partitioning: dict[str, tuple[str, str, int | None]] | None = None,
     ) -> int:
-        """Write all tables + manifest, then atomically flip _CURRENT.
+        """Write the given tables + manifest, then atomically flip _CURRENT.
 
-        A crash anywhere before the final ``os.replace`` leaves the previous
-        snapshot fully intact (data dirs are versioned, never overwritten) —
-        that is what makes mid-frontier resume exact.
+        Tables NOT in this commit carry forward from the previous manifest
+        (their immutable data files are re-referenced, Iceberg-style), so a
+        partial commit — e.g. a single-table merge_into — still yields a
+        complete current snapshot. A crash anywhere before the final
+        ``os.replace`` leaves the previous snapshot fully intact.
+
+        ``partitioning[name] = (kind, src_col, arg)`` lays that table out
+        under a hidden transform partition (``bucket``/``days``/
+        ``identity``); readers prune via ``read_table(..., prune=...)``
+        without ever naming the derived column.
         """
-        prev = self.current_version()
-        version = (prev or 0) + 1
+        prev = self.read_manifest()
+        version = (prev["version"] if prev else 0) + 1
         entry: dict[str, Any] = {
             "version": version,
             "epoch": epoch,
             "committed_at": time.time(),
-            "tables": {},
+            # carry forward unreferenced tables' (immutable) data files
+            "tables": dict(prev["tables"]) if prev else {},
             "extra": extra or {},
         }
         for name, df in tables.items():
             rel = f"data/{name}-v{version}"
             path = os.path.join(self.root, rel)
-            df.write.mode("overwrite").parquet(path)
+            spec = (partitioning or {}).get(name)
+            if spec is not None:
+                kind, src_col, arg = spec
+                (
+                    df.withColumn(
+                        self.PARTITION_COL, self._transform_expr(kind, src_col, arg)
+                    )
+                    .write.mode("overwrite")
+                    .partitionBy(self.PARTITION_COL)
+                    .parquet(path)
+                )
+            else:
+                df.write.mode("overwrite").parquet(path)
             written = spark.read.parquet(path)
             lineage = None
             if lineage_bucket_col and lineage_bucket_col in written.columns:
@@ -97,6 +148,7 @@ class SnapshotStore:
                 "path": rel,
                 "rows": written.count(),
                 "lineage": lineage,
+                "partitioning": list(spec) if spec is not None else None,
             }
         mpath = os.path.join(self.root, "_manifests", f"manifest-{version}.json")
         with open(mpath + ".tmp", "w") as f:
@@ -108,21 +160,89 @@ class SnapshotStore:
         os.replace(ptr + ".tmp", ptr)  # ← the atomic commit point
         return version
 
-    def read_table(self, spark: SparkSession, name: str, version: int | None = None) -> DataFrame:
+    def read_table(
+        self,
+        spark: SparkSession,
+        name: str,
+        version: int | None = None,
+        prune: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Read a table snapshot; ``prune={src_col: value}`` maps the value
+        through the table's hidden partition transform and filters on the
+        derived partition column — Spark's partition discovery then scans
+        only the matching directory (hidden-partitioning read path)."""
         m = self.read_manifest(version)
         if m is None or name not in m["tables"]:
             raise KeyError(f"no snapshot for table {name!r}")
-        return spark.read.parquet(os.path.join(self.root, m["tables"][name]["path"]))
+        meta = m["tables"][name]
+        df = spark.read.parquet(os.path.join(self.root, meta["path"]))
+        if prune:
+            spec = meta.get("partitioning")
+            if not spec:
+                raise ValueError(f"table {name!r} has no hidden partitioning")
+            kind, src_col, arg = spec[0], spec[1], spec[2]
+            for col, value in prune.items():
+                if col != src_col:
+                    raise ValueError(f"pruning on {col!r}, partitioned by {src_col!r}")
+                df = df.filter(
+                    F.col(self.PARTITION_COL)
+                    == F.lit(self._transform_value(kind, value, arg))
+                )
+        if self.PARTITION_COL in df.columns:
+            df = df.drop(self.PARTITION_COL)  # hidden: readers never see it
+        return df
+
+    # -- MERGE INTO (copy-on-write upsert/delete) ---------------------------
+    def merge_into(
+        self,
+        spark: SparkSession,
+        name: str,
+        source: DataFrame,
+        on: str | list[str],
+        epoch: int,
+        when_matched: str = "update",
+        extra: dict[str, Any] | None = None,
+    ) -> int:
+        """Iceberg ``MERGE INTO`` semantics, copy-on-write: source rows
+        replace matching target rows by key (``when_matched="update"``) or
+        remove them (``"delete"``); unmatched source rows insert (update
+        mode). Commits a new snapshot; the previous version stays readable
+        (time travel). The anti-join is the only shuffle and broadcasts when
+        the source is small — the same shape Iceberg CoW produces.
+        """
+        keys = [on] if isinstance(on, str) else list(on)
+        try:
+            target = self.read_table(spark, name)
+        except KeyError:
+            target = source.limit(0)
+        untouched = target.join(
+            source.select(*keys).distinct(), on=keys, how="left_anti"
+        )
+        if when_matched == "update":
+            merged = untouched.unionByName(source.select(target.columns))
+        elif when_matched == "delete":
+            merged = untouched
+        else:
+            raise ValueError(f"unknown when_matched {when_matched!r}")
+        return self.commit(spark, {name: merged}, epoch=epoch, extra=extra)
 
     def expire_snapshots(self, keep_last: int = 2) -> None:
-        """GC old versioned data dirs (Iceberg expire_snapshots equivalent)."""
+        """GC versioned data dirs unreachable from the kept manifests
+        (Iceberg expire_snapshots): carry-forward means an OLD version's
+        files may still be referenced by a NEWER manifest — reachability,
+        not age, decides deletion."""
         cur = self.current_version()
         if cur is None:
             return
-        keep = {cur - i for i in range(keep_last)}
+        keep_versions = {v for v in range(cur - keep_last + 1, cur + 1) if v >= 1}
+        referenced: set[str] = set()
+        for v in keep_versions:
+            m = self.read_manifest(v)
+            if m:
+                referenced.update(
+                    os.path.basename(t["path"]) for t in m["tables"].values()
+                )
         data = os.path.join(self.root, "data")
         for d in os.listdir(data):
-            if "-v" in d:
-                v = int(d.rsplit("-v", 1)[1])
-                if v not in keep:
-                    shutil.rmtree(os.path.join(data, d), ignore_errors=True)
+            if "-v" in d and d not in referenced:
+                shutil.rmtree(os.path.join(data, d), ignore_errors=True)

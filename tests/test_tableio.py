@@ -1,0 +1,97 @@
+"""SnapshotStore: MERGE INTO, hidden partitioning, reachability-based expiry.
+
+Emulates the Iceberg surfaces the north_rule names (atomic snapshot commit
+is covered by test_resume); these pin the round-2 additions: copy-on-write
+MERGE, carry-forward manifests (partial commits stay complete snapshots),
+hidden partition transforms with read-side pruning, and expire_snapshots
+deleting by manifest reachability rather than age.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nlnieuwscrawler_spark.sources.tableio import SnapshotStore
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return SnapshotStore(str(tmp_path / "snap"))
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_merge_into_upsert_and_time_travel(spark, store):
+    v1 = store.commit(spark, {"t": _kv(spark, [(1, "a"), (2, "b"), (3, "c")])}, epoch=0)
+    v2 = store.merge_into(
+        spark, "t", _kv(spark, [(2, "B"), (4, "d")]), on="k", epoch=1
+    )
+    now = {r["k"]: r["v"] for r in store.read_table(spark, "t").collect()}
+    assert now == {1: "a", 2: "B", 3: "c", 4: "d"}  # update + insert
+    # time travel: v1 unchanged
+    old = {r["k"]: r["v"] for r in store.read_table(spark, "t", version=v1).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}
+    # delete-when-matched
+    store.merge_into(spark, "t", _kv(spark, [(1, "x"), (4, "y")]),
+                     on="k", epoch=2, when_matched="delete")
+    left = {r["k"] for r in store.read_table(spark, "t").collect()}
+    assert left == {2, 3}
+    assert v2 == v1 + 1
+
+
+def test_partial_commit_carries_forward(spark, store):
+    store.commit(spark, {"a": _kv(spark, [(1, "a")]),
+                         "b": _kv(spark, [(9, "z")])}, epoch=0)
+    # single-table commit: 'b' must stay readable at the NEW current version
+    store.commit(spark, {"a": _kv(spark, [(2, "c")])}, epoch=1)
+    assert [r["k"] for r in store.read_table(spark, "a").collect()] == [2]
+    assert [r["k"] for r in store.read_table(spark, "b").collect()] == [9]
+
+
+def test_hidden_bucket_partitioning_prunes(spark, store):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("url_fp"), F.col("id").cast("string").alias("v")
+    )
+    store.commit(spark, {"t": df}, epoch=0,
+                 partitioning={"t": ("bucket", "url_fp", 8)})
+    # the derived column is hidden from readers
+    full = store.read_table(spark, "t")
+    assert full.columns == ["url_fp", "v"] and full.count() == 1000
+    # pruned read touches one bucket directory only
+    pruned = store.read_table(spark, "t", prune={"url_fp": 13})
+    files = {r[0] for r in pruned.select(F.input_file_name()).distinct().collect()}
+    assert all("__p=5" in f for f in files), files  # 13 % 8
+    assert pruned.filter(F.col("url_fp") == 13).count() == 1
+    # every row of bucket 5 is there, none from other buckets
+    assert pruned.count() == 125
+    with pytest.raises(ValueError):
+        store.read_table(spark, "t", prune={"other_col": 1})
+
+
+def test_hidden_days_partitioning(spark, store):
+    df = spark.sql(
+        "SELECT id AS k, timestamp'2024-01-01 06:00:00' + make_interval(0,0,0,CAST(id AS INT),0,0,0) AS ts"
+        " FROM range(6)"
+    )
+    store.commit(spark, {"t": df}, epoch=0, partitioning={"t": ("days", "ts", None)})
+    pruned = store.read_table(spark, "t", prune={"ts": "2024-01-03 06:00:00"})
+    assert pruned.count() == 1 and pruned.collect()[0]["k"] == 2
+
+
+def test_expire_keeps_reachable_carryforward_files(spark, store):
+    store.commit(spark, {"a": _kv(spark, [(1, "a")]),
+                         "b": _kv(spark, [(9, "z")])}, epoch=0)  # v1
+    for e in range(1, 4):  # v2..v4 rewrite only 'a'; 'b' carries forward
+        store.commit(spark, {"a": _kv(spark, [(e, "x")])}, epoch=e)
+    store.expire_snapshots(keep_last=2)
+    # b-v1 data is still referenced by the current manifest → must survive
+    assert [r["k"] for r in store.read_table(spark, "b").collect()] == [9]
+    # a-v1/v2 dirs are unreachable from v3/v4 → gone
+    data = os.listdir(os.path.join(store.root, "data"))
+    assert "a-v1" not in data and "a-v2" not in data
+    assert {"a-v3", "a-v4", "b-v1"} <= set(data)
