@@ -53,6 +53,16 @@ def jaccard(a: Column, b: Column) -> Column:
 # exact dedup
 # --------------------------------------------------------------------------
 
+def _spread(df: DataFrame) -> DataFrame:
+    """CPU-dense per-row stages must not inherit the input's file-split
+    parallelism: one small parquet file scans as ONE partition, so the
+    shingle/signature transforms serialize on a single core no matter how
+    many exist (measured: the whole sf0.1 documents table is one split).
+    Spread the narrow projection across default parallelism first — the
+    shuffle moves only (id, block, text), never derived arrays."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id representative per exact content hash."""
     return (
@@ -75,38 +85,93 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All (a < b) pairs with n-gram Jaccard ≥ threshold, within a block.
 
-    The self-join is bounded by the blocking key (at scale: LSH buckets via
-    :func:`minhash_lsh_pairs`; this exact form is the verifier / small-N
-    path). Output: doc_a, doc_b, jacc.
+    EXACT set-similarity self-join via PREFIX FILTERING (the PPJoin-family
+    bound): order each doc's distinct shingle set by ONE global total
+    order; if J(a,b) ≥ τ the two sets MUST share a token within each one's
+    first ``|s| - ceil(τ·|s|) + 1`` elements. So candidates come from an
+    EQUI-join on exploded prefix tokens — O(Σ per-token pairings), never
+    the O(block²) all-pairs join — and only candidates pay the
+    array_intersect verify. The order is ASCENDING DOCUMENT FREQUENCY
+    (then token), the PPJoin essential: prefixes then hold each doc's
+    RAREST shingles, so hot tokens (boilerplate shared by thousands of
+    docs) stay out of the candidate join — with a plain hash order one
+    common trigram re-creates the quadratic bucket this exists to avoid.
+    Same results as the naive form (the DuckDB oracle stays the naive
+    SQL), but the plan survives a 100× scale-up: shuffles are keyed by
+    token / id, all linear in input ± candidates. Requires threshold > 0
+    (empty-gram docs can then never match and are dropped up front).
+    Output: doc_a, doc_b, jacc.
     """
+    if threshold <= 0:
+        raise ValueError("prefix filtering requires threshold > 0")
     # hash shingles to longs BEFORE the pairwise stage: array_intersect on
     # int64 is ~20× cheaper than on strings across O(pairs) evaluations;
     # Jaccard over hashed distinct sets equals Jaccard over the strings
-    # (xxhash64 collisions among ~10^2 grams/doc are ~2^-50 events)
-    g = df.select(
-        F.col(id_col).alias("id"),
-        (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
-        F.array_distinct(
-            F.transform(word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s))
-        ).alias("grams"),
+    # (xxhash64 collisions among ~10^2 grams/doc are ~2^-50 events).
+    ex = _spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
+            F.col(text_col),
+        )
+    ).select(
+        "id",
+        "blk",
+        F.explode(
+            F.array_distinct(
+                F.transform(word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s))
+            )
+        ).alias("tok"),
     )
-    a = g.select(
-        F.col("id").alias("doc_a"), F.col("blk"), F.col("grams").alias("ga")
+    freq = ex.groupBy("tok").agg(F.count("*").alias("freq"))
+    # persisted: the ordered gram table feeds the prefix explode AND both
+    # verify join-backs — unpersisted, the shingle pipeline runs three times
+    g = (
+        ex.join(freq, "tok")
+        .groupBy("id", "blk")
+        .agg(F.array_sort(F.collect_list(F.struct("freq", "tok"))).alias("__o"))
+        .select(
+            "id", "blk",
+            F.transform("__o", lambda s: s["tok"]).alias("grams"),
+        )
+        .persist()
     )
-    b = g.select(
-        F.col("id").alias("doc_b"), F.col("blk"), F.col("grams").alias("gb")
+    prefix_len = (
+        F.size("grams")
+        - F.ceil(F.lit(threshold) * F.size("grams")).cast("int")
+        + F.lit(1)
     )
-    pairs = a.join(b, on="blk").filter(F.col("doc_a") < F.col("doc_b"))
-    # size filter: jacc ≥ τ requires |small| ≥ τ·|large| — prunes pairs
-    # before the O(|a|+|b|) intersect (tight at high τ, loose at low)
-    pairs = pairs.filter(
-        F.least(F.size("ga"), F.size("gb"))
-        >= F.lit(threshold) * F.greatest(F.size("ga"), F.size("gb"))
+    pref = g.select(
+        "id", "blk", F.size("grams").alias("sz"),
+        F.explode(F.slice(F.col("grams"), F.lit(1), prefix_len)).alias("tok"),
     )
-    out = pairs.select(
-        "doc_a",
-        "doc_b",
-        F.round(jaccard(F.col("ga"), F.col("gb")), 6).alias("jacc"),
+    a = pref.select(
+        F.col("id").alias("doc_a"), "blk", "tok", F.col("sz").alias("sz_a")
+    )
+    b = pref.select(
+        F.col("id").alias("doc_b"), "blk", "tok", F.col("sz").alias("sz_b")
+    )
+    cand = (
+        a.join(b, on=["blk", "tok"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # size filter BEFORE dedup/verify: jacc ≥ τ needs |small| ≥ τ·|large|
+        .filter(
+            F.least("sz_a", "sz_b")
+            >= F.lit(threshold) * F.greatest("sz_a", "sz_b")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ga = g.select(F.col("id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = g.select(F.col("id").alias("doc_b"), F.col("grams").alias("gb"))
+    out = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("ga"), F.col("gb")), 6).alias("jacc"),
+        )
     )
     return out.filter(F.col("jacc") >= threshold)
 
@@ -155,8 +220,9 @@ def minhash_lsh_pairs(
     """
     r = num_hashes // bands
     g = (
-        df.select(
-            F.col(id_col).alias("id"),
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select(
+            "id",
             word_ngrams(F.col(text_col), n).alias("grams"),
         )
         # docs with no n-grams (< n tokens) can never be near-dups of
@@ -250,7 +316,9 @@ def simhash_pairs(
     Candidate generation: 4 × 16-bit bands (pigeonhole: distance ≤ 3 ⇒ at
     least one identical band). Verification: exact popcount on the pair.
     """
-    s = df.select(F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("sig"))
+    s = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", simhash64_udf(F.col(text_col)).alias("sig")
+    )
     bands = [
         F.struct(
             F.lit(b).alias("band"),

@@ -430,6 +430,73 @@ ORDER BY event_type
 """
 
 
+def q_variant_props(spark, sf_dir):
+    """Spark 4 VARIANT semi-structured type: parse_json once into a binary
+    variant, typed-path extraction with variant_get, and missing-path null
+    semantics via try_variant_get — all JVM-side; at scale one variant
+    parse beats repeated get_json_object string re-parses per path."""
+    e = load(spark, sf_dir, "events")
+    v = e.withColumn("v", F.parse_json("props"))
+    return (
+        v.select(
+            F.pmod(F.expr("variant_get(v, '$.k', 'long')"), F.lit(10)).alias("k_bucket"),
+            F.expr("try_variant_get(v, '$.missing', 'long')").alias("m"),
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("m").alias("n_missing_nonnull"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+ORACLE_VARIANT = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n,
+       count(CAST(json_extract_string(props, '$.missing') AS BIGINT))
+         AS n_missing_nonnull
+FROM events GROUP BY 1 ORDER BY k_bucket
+"""
+
+
+def q_python_datasource(spark, sf_dir):
+    """Spark 4 Python DataSource API: partitioned custom batch source
+    (synthetic WARC manifest; records a pure function of rec_id, so a
+    DuckDB range() twin reproduces them exactly — the source itself is
+    under oracle check, not just the aggregation)."""
+    from nlnieuwscrawler_spark.sources import pysource
+
+    pysource.register(spark)
+    df = (
+        spark.read.format("synthwarc")
+        .option("rows", "5000")
+        .option("partitions", "8")
+        .load()
+    )
+    return (
+        df.groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_bytes").alias("sum_bytes"),
+            F.min("url").alias("first_url"),
+            F.max("fetch_ts").alias("last_ts"),
+        )
+        .orderBy("status")
+    )
+
+
+ORACLE_PYSOURCE = """
+WITH r AS (SELECT range AS i FROM range(5000))
+SELECT ((i * i) % 5)::INT AS status,
+       count(*) AS n,
+       (sum(1000 + (i * 37) % 4096))::BIGINT AS sum_bytes,
+       min('https://w' || (i % 50) || '.example/p' || i) AS first_url,
+       max(TIMESTAMP '2024-01-01' + to_minutes(i::INT)) AS last_ts
+FROM r GROUP BY 1 ORDER BY status
+"""
+
+
 def q_array_stats(spark, sf_dir):
     """Higher-order array functions over embeddings (O7 rules-eval shape)."""
     em = load(spark, sf_dir, "embeddings")
@@ -1386,6 +1453,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "left_outer_join": q_left_outer_join,
     "union_all": q_union_all,
     "udtf_tokens": q_udtf_tokens,
+    "variant_props": q_variant_props,
+    "python_datasource": q_python_datasource,
     "correlated_above_avg": q_correlated_above_avg,
     "exists_parts": q_exists_parts,
     "percentiles": q_percentiles,
@@ -1444,6 +1513,8 @@ ORACLE: dict[str, str] = {
     "left_outer_join": ORACLE_LEFT_OUTER,
     "union_all": ORACLE_UNION_ALL,
     "udtf_tokens": ORACLE_UDTF_TOKENS,
+    "variant_props": ORACLE_VARIANT,
+    "python_datasource": ORACLE_PYSOURCE,
     "correlated_above_avg": ORACLE_CORRELATED,
     "exists_parts": ORACLE_EXISTS,
     "percentiles": ORACLE_PERCENTILES,
