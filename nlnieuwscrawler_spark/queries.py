@@ -1185,6 +1185,63 @@ SELECT count(DISTINCT user_id) AS n_unique_users FROM events
 """
 
 
+def q_stream_stream_join(spark, sf_dir):
+    """REAL stream-stream inner join: clicks joined to purchases of the
+    same user within 30 min after the click, both sides watermarked with a
+    time-range join condition (the state-bounding form). availableNow +
+    memory sink; result must equal the batch interval-join oracle."""
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"),
+                F.col("event_id").alias("click_id"))
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("event_id").alias("purchase_id"))
+    )
+    j = clicks.withWatermark("click_ts", "1 hour").join(
+        purchases.withWatermark("purchase_ts", "1 hour"),
+        F.expr(
+            "user_id = p_user AND purchase_ts >= click_ts "
+            "AND purchase_ts < click_ts + INTERVAL 30 MINUTES"
+        ),
+        "inner",
+    )
+    name = "q_stream_stream_join_sink"
+    q = (
+        j.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_STREAM_STREAM_JOIN = """
+SELECT c.user_id AS user_id, count(*) AS n_pairs,
+       count(DISTINCT p.event_id) AS n_purchases
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ AND p.ts < c.ts + INTERVAL 30 MINUTE
+GROUP BY 1 ORDER BY user_id
+"""
+
+
 def q_stateful_budget(spark, sf_dir):
     """Arbitrary stateful streaming (applyInPandasWithState): per-host
     admission budget over a synthesized host column. Admitted-per-host must
@@ -1455,6 +1512,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udtf_tokens": q_udtf_tokens,
     "variant_props": q_variant_props,
     "python_datasource": q_python_datasource,
+    "stream_stream_join": q_stream_stream_join,
     "correlated_above_avg": q_correlated_above_avg,
     "exists_parts": q_exists_parts,
     "percentiles": q_percentiles,
@@ -1515,6 +1573,7 @@ ORACLE: dict[str, str] = {
     "udtf_tokens": ORACLE_UDTF_TOKENS,
     "variant_props": ORACLE_VARIANT,
     "python_datasource": ORACLE_PYSOURCE,
+    "stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
     "correlated_above_avg": ORACLE_CORRELATED,
     "exists_parts": ORACLE_EXISTS,
     "percentiles": ORACLE_PERCENTILES,
