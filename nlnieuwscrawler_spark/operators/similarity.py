@@ -157,6 +157,89 @@ def ann_lsh_topk(
     )
 
 
+# --------------------------------------------------------------------------
+# IVF ANN (coarse-quantizer inverted lists — the other named scale path)
+# --------------------------------------------------------------------------
+
+def ivf_index(
+    vectors: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+):
+    """Train IVF coarse centroids (MLlib KMeans, fixed seed) and assign
+    every vector to its inverted list. Returns (assigned_df, centroids).
+
+    Scale shape: training samples/aggregates per-partition (MLlib), the
+    assignment is one model.transform pass; downstream searches touch only
+    ``nprobe``/``n_lists`` of the data — the IVF contract. The centroid
+    matrix is tiny (n_lists × dim) and rides a broadcast.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = vectors.withColumn(
+        "__f", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_lists, seed=seed, maxIter=max_iter,
+        featuresCol="__f", predictionCol="list_id",
+    ).fit(v)
+    assigned = model.transform(v).drop("__f")
+    centroids = np.stack([c for c in model.clusterCenters()])
+    return assigned, centroids
+
+
+def ann_ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_lists: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: probe the ``nprobe`` nearest inverted lists per query, exact
+    cosine within the probed lists only — cost ≈ (nprobe/n_lists)·|vectors|
+    per query instead of |vectors|. Same output shape as the exact baseline
+    so recall is directly measurable (tests pin it against bruteforce).
+    """
+    assigned, centroids = ivf_index(vectors, n_lists, vec_col, seed)
+    b = vectors.sparkSession.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf("array<int>")
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        C = b.value  # (n_lists, dim)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = mn @ Cn.T  # (batch, n_lists)
+        order = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    q = (
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+        .withColumn("list_id", F.explode(probe_lists(F.col("__qv"))))
+    )
+    cand = assigned.join(F.broadcast(q), on="list_id").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 8).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank")
+    )
+
+
 def cosine_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -914,6 +914,21 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(em, q, k=5).orderBy("query_id", "rank")
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (KMeans coarse quantizer, nprobe inverted lists). Rows-only:
+    MLlib centroid training is partitioning-sensitive in float summation;
+    recall vs the exact baseline is pinned by pytest instead."""
+    from nlnieuwscrawler_spark.operators.similarity import ann_ivf_topk
+
+    em = load(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_ivf_topk(em, q, k=5, n_lists=16, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_cosine_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs within label blocks (cos ≥ 0.4)."""
     from nlnieuwscrawler_spark.operators.similarity import cosine_neardup_pairs
@@ -1310,6 +1325,86 @@ FROM documents GROUP BY 1 ORDER BY kind
 """
 
 
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS (the general form under cube/rollup): totals per
+    priority, per status, and grand — NULL groupers disambiguated with
+    coalesce sentinels so the oracle compare is engine-neutral."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("o_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+               coalesce(o_orderstatus, 'ALL')   AS status,
+               count(*) AS n
+        FROM o_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY prio, status
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+       coalesce(o_orderstatus, 'ALL')   AS status,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+ORDER BY prio, status
+"""
+
+
+def q_unpivot(spark, sf_dir):
+    """unpivot/melt (Spark 3.4 DataFrame API) of a wide per-flag aggregate
+    into (flag, metric, value) long form."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+    return wide.unpivot(
+        "l_returnflag", ["sum_qty", "sum_price"], "metric", "value"
+    ).orderBy("l_returnflag", "metric")
+
+
+ORACLE_UNPIVOT = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2)::DOUBLE AS sum_qty,
+         round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2)::DOUBLE AS sum_price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value
+FROM (UNPIVOT wide ON sum_qty, sum_price INTO NAME metric VALUE value)
+ORDER BY l_returnflag, metric
+"""
+
+
+def q_range_frame(spark, sf_dir):
+    """RANGE window frame over event time: per event, how many events the
+    same user produced in the preceding hour (inclusive). Ordered on epoch
+    seconds so the frame is a true value-range, not a row count."""
+    e = load(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_last_hour"),
+    ).orderBy("user_id", "event_id")
+
+
+ORACLE_RANGE_FRAME = """
+SELECT user_id, event_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         AS n_last_hour
+FROM events ORDER BY user_id, event_id
+"""
+
+
 def q_frame_sample(spark, sf_dir):
     """Video frame-sampling plumbing: explode every-7th frame index from
     meta['n_frames'] per video item, then per-item sampled-frame counts.
@@ -1506,6 +1601,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "lang_gate": q_lang_gate,
     "pivot_status": q_pivot_status,
+    "grouping_sets": q_grouping_sets,
+    "unpivot": q_unpivot,
+    "range_frame": q_range_frame,
     "range_join": q_range_join,
     "left_outer_join": q_left_outer_join,
     "union_all": q_union_all,
@@ -1524,6 +1622,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "cosine_neardup": q_cosine_neardup,
     "lang_id": q_lang_id,
     "token_stats": q_token_stats,
@@ -1567,6 +1666,9 @@ ORACLE: dict[str, str] = {
     "text_quality": ORACLE_TEXT_QUALITY,
     "lang_gate": ORACLE_LANG_GATE,
     "pivot_status": ORACLE_PIVOT,
+    "grouping_sets": ORACLE_GROUPING_SETS,
+    "unpivot": ORACLE_UNPIVOT,
+    "range_frame": ORACLE_RANGE_FRAME,
     "range_join": ORACLE_RANGE_JOIN,
     "left_outer_join": ORACLE_LEFT_OUTER,
     "union_all": ORACLE_UNION_ALL,

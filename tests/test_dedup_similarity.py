@@ -82,6 +82,23 @@ def test_ann_lsh_recall_vs_bruteforce(spark, embeddings):
     assert recall >= 0.6, f"LSH-ANN recall too low: {recall}"
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark, embeddings):
+    """IVF (KMeans coarse quantizer) with nprobe=8/16 lists must recover
+    most exact top-5 neighbors. Random near-orthogonal vectors are the
+    hard case (clustered real embeddings need fewer probes)."""
+    q = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = similarity.ann_bruteforce_topk(embeddings, q, k=5)
+    ivf = similarity.ann_ivf_topk(embeddings, q, k=5, n_lists=16, nprobe=8)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    i = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(b & i) / len(b)
+    assert recall >= 0.5, f"IVF-ANN recall too low: {recall}"
+    # every IVF result must be a real vector id with a valid rank
+    assert ivf.filter(F.col("rank") > 5).count() == 0
+
+
 def test_winnowing_shared_substring(spark):
     """Winnowing guarantee: docs sharing a ≥ W+K-1 char run share a print."""
     from nlnieuwscrawler_spark.functions.text import winnow_fingerprints_udf
