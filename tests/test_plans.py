@@ -94,3 +94,39 @@ def test_dedup_aggregate_is_partial_final(spark):
     assert plan.count("Aggregate") >= 2, plan
     assert "partial_min" in plan or "partial" in plan.lower(), plan
     assert "EvalPython" not in plan
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path_factory):
+    """Bucketed tables co-locate join keys at WRITE time: a join of two
+    tables bucketed by the same key into the same bucket count must plan
+    with NO Exchange on either side — the 100 TB recipe for repeated
+    fact-to-fact joins (pay the shuffle once, reuse it every query)."""
+    wh = tmp_path_factory.mktemp("warehouse")
+    a = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("va")
+    )
+    b = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 11).alias("vb")
+    )
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    # external-table paths: bucketing lives in the catalog entry, the data
+    # under tmp (the session's static warehouse dir can't be changed)
+    a.write.bucketBy(8, "k").sortBy("k").option(
+        "path", str(wh / "bkt_a")).saveAsTable("bkt_a")
+    b.write.bucketBy(8, "k").sortBy("k").option(
+        "path", str(wh / "bkt_b")).saveAsTable("bkt_b")
+    # small inputs would broadcast (also correct, but not what's under
+    # test); force the shuffle path so bucket co-location is observable
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert j.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")

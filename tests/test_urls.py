@@ -102,3 +102,41 @@ def test_host_and_path(spark):
     assert (rows[1]["h"], rows[1]["p"]) == ("nos.nl", "/")
     assert pyurls.url_host("https://nu.nl:8080/a/b.html?q=1#f") == "nu.nl"
     assert pyurls.url_path("https://nu.nl:8080/a/b.html?q=1#f") == "/a/b.html"
+
+
+def test_parity_on_adversarial_random_urls(spark):
+    """Seeded random fuzz over structured-adversarial URLs (mixed case,
+    default/odd ports, dot segments, fragments, tracking params, unicode,
+    junk schemes): Spark canonicalization must equal the Python twin on
+    every one. Catches divergence the 31 pinned cases don't cover."""
+    import random
+
+    rng = random.Random(1234)
+    schemes = ["http", "https", "HTTP", "ftp", "", "javascript"]
+    hosts = ["nu.nl", "WWW.Nu.NL", "ad.nl:443", "tweakers.net:8080",
+             "例え.jp", "a.b.example", "localhost"]
+    paths = ["", "/", "/a/b/../c", "/./x/./y/", "/a//b", "/nieuws/artikel",
+             "/A%2Fb", "/img/pic.JPG", "/x?b=2&a=1", "/p?utm_source=x&id=3",
+             "/frag#sec", "/sp ace", "/uniëke"]
+    cases = []
+    for _ in range(500):
+        u = (f"{rng.choice(schemes)}://{rng.choice(hosts)}"
+             f"{rng.choice(paths)}")
+        if rng.random() < 0.2:
+            u = u.replace("://", ":/", 1)  # malformed
+        if rng.random() < 0.2:
+            u = " " + u + " "
+        cases.append(u)
+        cases.append(rng.choice(paths))  # relative forms
+    pdf = pd.DataFrame({"u": cases})
+    got = [
+        r["c"]
+        for r in spark.createDataFrame(pdf)
+        .select(U.normalize_url(F.col("u")).alias("c"))
+        .collect()
+    ]
+    want = [pyurls.normalize_url(u) for u in cases]
+    mismatches = [
+        (u, g, w) for u, g, w in zip(cases, got, want) if g != w
+    ]
+    assert not mismatches, mismatches[:5]
