@@ -181,31 +181,42 @@ def main() -> None:
         return
 
     if "--scaling" in sys.argv:
+        import statistics
         import subprocess
 
         n_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "1000000"))
+        # single-box wall-clock varies ±20% run-to-run (shared VM: steal,
+        # turbo, cache state) — the protocol is median of N alternating
+        # reps per leg, fresh JVM each (BASELINE.md measurement protocol)
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
         # pre-generate once with full parallelism so both runs share input
         gen = get_spark("nlnc-gen", master="local[32]", shuffle_partitions=32)
         _ensure_bench_corpus(gen, n_scaling)
         gen.stop()
         env = dict(os.environ, SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-        results = {}
-        for cores in (8, 32):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--crawl-one",
-                 str(cores), str(n_scaling)],
-                capture_output=True, text=True, env=env, check=True,
-            )
-            results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
-        t8 = results[8]["frontier_urls_per_sec"]
-        t32 = results[32]["frontier_urls_per_sec"]
-        eff = round((t32 / t8) / 4.0, 3)
+        runs: dict[int, list[dict]] = {8: [], 32: []}
+        for _ in range(reps):
+            for cores in (8, 32):
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--crawl-one",
+                     str(cores), str(n_scaling)],
+                    capture_output=True, text=True, env=env, check=True,
+                )
+                runs[cores].append(json.loads(out.stdout.strip().splitlines()[-1]))
+        med = {
+            cores: statistics.median(r["frontier_urls_per_sec"] for r in rs)
+            for cores, rs in runs.items()
+        }
+        eff = round((med[32] / med[8]) / 4.0, 3)
         out = {
             "metric": "scaling_efficiency_8_to_32",
             "value": eff,
             "unit": "ratio",
-            "local8": results[8],
-            "local32": results[32],
+            "reps": reps,
+            "local8": {"median_urls_per_sec": med[8],
+                       "runs": [r["frontier_urls_per_sec"] for r in runs[8]]},
+            "local32": {"median_urls_per_sec": med[32],
+                        "runs": [r["frontier_urls_per_sec"] for r in runs[32]]},
             "pages": n_scaling,
             "sf": sf,
         }

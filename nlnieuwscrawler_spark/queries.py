@@ -1643,8 +1643,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #: the driver records a rows-only check; cross-validated in pytest instead
 #: (LSH recall vs exact pairs, SimHash determinism, winnowing properties).
 NO_ORACLE = {
-    "minhash_lsh_pairs", "simhash_pairs", "ann_lsh", "winnow_fingerprints",
-    "approx_stats", "crawl_epoch",
+    "minhash_lsh_pairs", "simhash_pairs", "ann_lsh", "ann_ivf",
+    "winnow_fingerprints", "approx_stats", "crawl_epoch",
 }
 
 ORACLE: dict[str, str] = {

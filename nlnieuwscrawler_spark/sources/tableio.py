@@ -226,6 +226,25 @@ class SnapshotStore:
             raise ValueError(f"unknown when_matched {when_matched!r}")
         return self.commit(spark, {name: merged}, epoch=epoch, extra=extra)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        epoch: int,
+        target_files: int = 1,
+        extra: dict[str, Any] | None = None,
+    ) -> int:
+        """Iceberg rewrite_data_files equivalent: rewrite a table's data
+        into ``target_files`` files as a NEW snapshot (old versions stay
+        time-travelable until expired). The small-files problem is chronic
+        for checkpoint-per-epoch crawls — thousands of tiny frontier/log
+        files per day turn every scan into a listing storm; periodic
+        compaction through the same atomic-commit path fixes it without a
+        write lock (readers keep using the previous snapshot until the
+        pointer flips)."""
+        df = self.read_table(spark, name).coalesce(target_files)
+        return self.commit(spark, {name: df}, epoch=epoch, extra=extra)
+
     def expire_snapshots(self, keep_last: int = 2) -> None:
         """GC versioned data dirs unreachable from the kept manifests
         (Iceberg expire_snapshots): carry-forward means an OLD version's

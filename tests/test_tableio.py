@@ -95,3 +95,20 @@ def test_expire_keeps_reachable_carryforward_files(spark, store):
     data = os.listdir(os.path.join(store.root, "data"))
     assert "a-v1" not in data and "a-v2" not in data
     assert {"a-v3", "a-v4", "b-v1"} <= set(data)
+
+
+def test_compact_rewrites_small_files(spark, store):
+    import glob
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+    ).repartition(16)  # simulate per-epoch small-file accumulation
+    v1 = store.commit(spark, {"t": df}, epoch=0)
+    files_before = glob.glob(os.path.join(store.root, "data", "t-v1", "*.parquet"))
+    assert len(files_before) == 16
+    v2 = store.compact(spark, "t", epoch=1, target_files=2)
+    files_after = glob.glob(os.path.join(store.root, "data", f"t-v{v2}", "*.parquet"))
+    assert len(files_after) == 2
+    # same rows, and the pre-compaction snapshot still time-travels
+    assert store.read_table(spark, "t").count() == 5000
+    assert store.read_table(spark, "t", version=v1).count() == 5000
