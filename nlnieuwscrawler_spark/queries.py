@@ -497,6 +497,55 @@ FROM r GROUP BY 1 ORDER BY status
 """
 
 
+def q_python_stream_source(spark, sf_dir):
+    """Streaming half of the Python DataSource API: the same synthetic
+    WARC feed as an offset-tracked stream (SimpleDataSourceStreamReader),
+    drained with availableNow across multiple micro-batches into a memory
+    sink. The drained aggregate must equal the batch range() oracle —
+    checking offset bookkeeping (no loss, no replay) end-to-end."""
+    from nlnieuwscrawler_spark.sources import pysource
+
+    pysource.register(spark)
+    stream = (
+        spark.readStream.format("synthwarc")
+        .option("rows", "5000")
+        .option("rows_per_batch", "1200")  # 5 micro-batches
+        .load()
+    )
+    name = "q_pysource_stream_sink"
+    # availableNow only drains the simple reader's first prefetched batch;
+    # processAllAvailable keeps triggering until the source reports no new
+    # offsets (i == rows), i.e. the whole feed across all micro-batches
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("rec_id").alias("n_distinct"),
+            F.sum("n_bytes").alias("sum_bytes"),
+        )
+        .orderBy("status")
+    )
+
+
+ORACLE_PYSOURCE_STREAM = """
+WITH r AS (SELECT range AS i FROM range(5000))
+SELECT ((i * i) % 5)::INT AS status,
+       count(*) AS n,
+       count(DISTINCT i) AS n_distinct,
+       (sum(1000 + (i * 37) % 4096))::BIGINT AS sum_bytes
+FROM r GROUP BY 1 ORDER BY status
+"""
+
+
 def q_array_stats(spark, sf_dir):
     """Higher-order array functions over embeddings (O7 rules-eval shape)."""
     em = load(spark, sf_dir, "embeddings")
@@ -1610,6 +1659,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udtf_tokens": q_udtf_tokens,
     "variant_props": q_variant_props,
     "python_datasource": q_python_datasource,
+    "python_stream_source": q_python_stream_source,
     "stream_stream_join": q_stream_stream_join,
     "correlated_above_avg": q_correlated_above_avg,
     "exists_parts": q_exists_parts,
@@ -1675,6 +1725,7 @@ ORACLE: dict[str, str] = {
     "udtf_tokens": ORACLE_UDTF_TOKENS,
     "variant_props": ORACLE_VARIANT,
     "python_datasource": ORACLE_PYSOURCE,
+    "python_stream_source": ORACLE_PYSOURCE_STREAM,
     "stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
     "correlated_above_avg": ORACLE_CORRELATED,
     "exists_parts": ORACLE_EXISTS,

@@ -18,7 +18,12 @@ from __future__ import annotations
 import math
 from datetime import datetime, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 BASE_TS = datetime(2024, 1, 1, 0, 0, 0)
 SCHEMA = "rec_id long, url string, fetch_ts timestamp, status int, n_bytes long"
@@ -46,6 +51,9 @@ class SyntheticWarcDataSource(DataSource):
     def reader(self, schema) -> "SyntheticWarcReader":
         return SyntheticWarcReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticWarcStreamReader":
+        return SyntheticWarcStreamReader(self.options)
+
 
 class SyntheticWarcReader(DataSourceReader):
     def __init__(self, options):
@@ -63,6 +71,34 @@ class SyntheticWarcReader(DataSourceReader):
         start, end = partition.value
         for i in range(start, end):
             yield synth_record(i)
+
+
+class SyntheticWarcStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the custom source (SimpleDataSourceStreamReader):
+    a replayable offset-tracked feed of the same records. Offsets are plain
+    record indices, so ``readBetweenOffsets`` replays any window exactly —
+    the contract that makes the source exactly-once under retries. A real
+    deployment would map offsets to CDX/WARC byte ranges the same way.
+    """
+
+    def __init__(self, options):
+        self.n = int(options.get("rows", 1000))
+        self.batch = int(options.get("rows_per_batch", 500))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        i = int(start["i"])
+        if i >= self.n:
+            return iter([]), start
+        end = min(i + self.batch, self.n)
+        return iter([synth_record(j) for j in range(i, end)]), {"i": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [synth_record(j) for j in range(int(start["i"]), int(end["i"]))]
+        )
 
 
 def register(spark) -> None:
