@@ -516,14 +516,15 @@ def q_python_stream_source(spark, sf_dir):
     # availableNow only drains the simple reader's first prefetched batch;
     # processAllAvailable keeps triggering until the source reports no new
     # offsets (i == rows), i.e. the whole feed across all micro-batches
-    q = (
-        stream.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_state_partitions(spark):
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return (
         spark.table(name)
         .groupBy("status")
@@ -1171,6 +1172,25 @@ SELECT win_start, count(*) AS n FROM (
 """
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_state_partitions(spark, n: int = 8):
+    """Scope spark.sql.shuffle.partitions for a streaming query: it fixes
+    the STATE STORE partition count at first run, and each state partition
+    carries per-batch checkpoint/commit overhead — 32 stores on a
+    fixture-sized stream cost ~4× the query (measured 13.4 s → 3.3 s).
+    At production scale you'd size this to state volume instead; the knob
+    is per-query because it sticks in the checkpoint."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _stream_events(spark, sf_dir):
     """readStream over the events parquet with watermark-compatible ts
     (parquet reads as TIMESTAMP_NTZ in Spark 4; watermarks need TIMESTAMP —
@@ -1206,14 +1226,15 @@ def q_stream_hourly(spark, sf_dir):
         .select(F.col("w.start").alias("hour"), "n")
     )
     name = "q_stream_hourly_sink"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         F.col("hour").cast("timestamp_ntz").alias("hour"), "n"
     ).orderBy("hour")
@@ -1233,14 +1254,15 @@ def q_stream_dedup_users(spark, sf_dir):
     stream = _stream_events(spark, sf_dir)
     dedup = streaming_dedup(stream, key_col="user_id", ts_col="ts", watermark="3650 days")
     name = "q_stream_dedup_sink"
-    q = (
-        dedup.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            dedup.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).agg(F.count("*").alias("n_unique_users"))
 
 
@@ -1276,14 +1298,15 @@ def q_stream_stream_join(spark, sf_dir):
         "inner",
     )
     name = "q_stream_stream_join_sink"
-    q = (
-        j.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            j.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -1319,14 +1342,15 @@ def q_stateful_budget(spark, sf_dir):
     )
     gated = stateful_host_budget(cand, total_budget=50)
     name = "q_stateful_budget_sink"
-    q = (
-        gated.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            gated.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("host")
