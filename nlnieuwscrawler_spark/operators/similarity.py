@@ -247,17 +247,50 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = "label",
 ) -> DataFrame:
-    """(a<b) pairs with cosine ≥ threshold, blocked (exact within block)."""
+    """(a<b) pairs with cosine ≥ threshold, blocked (exact within block).
+
+    Two-stage: candidates from a per-block numpy GRAM MATRIX
+    (``applyInPandas``: normalize → Vn@Vnᵀ, BLAS — two orders of magnitude
+    cheaper than evaluating the per-pair higher-order cosine over every
+    pair), taken with a 1e-9 slack so float-summation-order differences
+    can't drop a boundary pair; then the EXACT left-to-right HOF cosine
+    recomputed on candidates only, so output values stay bit-identical to
+    the naive form (and to the DuckDB oracle's list_sum). Requires
+    threshold > 0. At 100 TB the blocks are LSH/IVF buckets and the same
+    two-stage shape applies per bucket.
+    """
+    if threshold <= 0:
+        raise ValueError("two-stage cosine near-dup requires threshold > 0")
     v = vectors.select(
         F.col(id_col).alias("id"),
         (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
         F.col(vec_col).alias("v"),
     )
-    a = v.select(F.col("id").alias("id_a"), "blk", F.col("v").alias("va"))
-    b = v.select(F.col("id").alias("id_b"), "blk", F.col("v").alias("vb"))
+    slack = threshold - 1e-9
+
+    def block_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(m, axis=1)
+        nz = n > 0
+        mn = np.zeros_like(m)
+        mn[nz] = m[nz] / n[nz, None]
+        g = mn @ mn.T
+        ai, bi = np.nonzero(np.triu(g >= slack, k=1))
+        id_a = np.minimum(ids[ai], ids[bi])
+        id_b = np.maximum(ids[ai], ids[bi])
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b})
+
+    cand = (
+        v.groupBy("blk")
+        .applyInPandas(block_candidates, "id_a long, id_b long")
+        .distinct()
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
