@@ -69,6 +69,15 @@ def asof_join(
     )
     rts = right_ts + suffix if right_ts in lcols else right_ts
     l = left.withColumn(lid, F.monotonically_increasing_id())
+    if how == "left":
+        # monotonically_increasing_id is NONdeterministic (partition id +
+        # within-partition order); the left branch evaluates ``l`` twice
+        # (rank window AND the anti-join below). Recomputation — e.g. a
+        # shuffle upstream of ``left`` replaying in a different order —
+        # could assign different ids per evaluation, re-emitting matched
+        # rows as null-padded "missing" and dropping real misses. Pin the
+        # ids by materializing the stamped left exactly once.
+        l = l.localCheckpoint(eager=True)
     joined = l.join(r, on=on, how="inner").filter(F.col(rts) <= F.col(left_ts))
     w = Window.partitionBy(lid).orderBy(F.col(rts).desc())
     best = joined.withColumn("__rn", F.row_number().over(w)).filter(

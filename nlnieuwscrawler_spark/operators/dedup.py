@@ -59,8 +59,17 @@ def _spread(df: DataFrame) -> DataFrame:
     shingle/signature transforms serialize on a single core no matter how
     many exist (measured: the whole sf0.1 documents table is one split).
     Spread the narrow projection across default parallelism first — the
-    shuffle moves only (id, block, text), never derived arrays."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    shuffle moves only (id, block, text), never derived arrays.
+
+    Only widens, never shrinks: an input already partitioned wider than
+    the core count (the normal case on a real cluster reading a 100 TB
+    table) passes through untouched — repartitioning it DOWN to
+    defaultParallelism would force a full shuffle of the fat text column
+    and throw away parallelism."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -172,8 +181,16 @@ def ngram_jaccard_pairs(
             "doc_b",
             F.round(jaccard(F.col("ga"), F.col("gb")), 6).alias("jacc"),
         )
+        .filter(F.col("jacc") >= threshold)
+        # materialize eagerly (the verified pair set is tiny — linear in
+        # near-dups) so the persisted gram table can be released HERE: a
+        # lazily-returned plan would pin ``g`` in the cache manager for the
+        # life of the session (cached DFs are never GC-cleaned), leaking
+        # executor memory across a long bench/crawl session.
+        .localCheckpoint(eager=True)
     )
-    return out.filter(F.col("jacc") >= threshold)
+    g.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -153,6 +153,21 @@ class BloomSeenSet:
     def to_df(self) -> DataFrame:
         return self.df
 
+    def _invalidate_bcast(self) -> None:
+        """Release the cached probe broadcast's EXECUTOR blocks before
+        dropping the handle — `self._bcast = None` alone leaves the stale
+        filter copy on every executor until GC gets around to it; across
+        hundreds of epochs those accumulate into real memory. unpersist
+        (not destroy): lazy plans built from an earlier probe() may still
+        reference this broadcast — they transparently re-fetch from the
+        driver if re-executed, whereas destroy() would fail them."""
+        if self._bcast is not None:
+            try:
+                self._bcast.unpersist()
+            except Exception:
+                pass  # context shutting down
+            self._bcast = None
+
     @property
     def total_bytes(self) -> int:
         return self.n_partitions * (self.n_bits // 8)
@@ -215,7 +230,7 @@ class BloomSeenSet:
         # metadata-sized aggregate (one long), not the bitmap
         row = merged.agg(F.sum("n_items").alias("n")).collect()[0]
         self.n_items = int(row["n"] or 0)
-        self._bcast = None
+        self._invalidate_bcast()
 
     # -- probe ----------------------------------------------------------------
     def probe(self, df: DataFrame, fp_col: str) -> DataFrame:
@@ -446,6 +461,14 @@ class CuckooSeenSet(BloomSeenSet):
                 pid = int(right["partition_id"].iloc[0])
                 items = int(right["n_items"].iloc[0])
             if op == "insert":
+                # probe-before-insert: a fingerprint re-added in a later
+                # epoch must not consume a second slot (the batch-level
+                # distinct can't see across epochs). Skipping tag-identical
+                # keys never creates a false negative — if (index, tag) is
+                # already present, lookup for this key is true forever —
+                # and it keeps n_items/occupancy accounting exact, so a
+                # later remove_keys can't drift membership state.
+                fps = fps[~_cuckoo_lookup(table, fps, nb)]
                 failed = _cuckoo_insert(table, fps, nb)
                 if failed:
                     raise RuntimeError(
@@ -476,7 +499,7 @@ class CuckooSeenSet(BloomSeenSet):
         )
         row = self.df.agg(F.sum("n_items").alias("n")).collect()[0]
         self.n_items = int(row["n"] or 0)
-        self._bcast = None
+        self._invalidate_bcast()
 
     def add_keys(self, keys: DataFrame, fp_col: str = "url_fp") -> None:
         self._apply_keys(keys, fp_col, "insert")

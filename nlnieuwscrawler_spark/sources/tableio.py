@@ -241,9 +241,19 @@ class SnapshotStore:
         files per day turn every scan into a listing storm; periodic
         compaction through the same atomic-commit path fixes it without a
         write lock (readers keep using the previous snapshot until the
-        pointer flips)."""
+        pointer flips). The table's hidden-partition spec survives the
+        rewrite (Iceberg rewrite_data_files never changes the layout):
+        read_table strips the derived ``__p`` column, so the spec must be
+        re-applied from the manifest or compaction would silently flatten
+        a partitioned table and break every subsequent pruned read."""
+        m = self.read_manifest()
+        spec = (m["tables"][name].get("partitioning")
+                if m and name in m["tables"] else None)
         df = self.read_table(spark, name).coalesce(target_files)
-        return self.commit(spark, {name: df}, epoch=epoch, extra=extra)
+        return self.commit(
+            spark, {name: df}, epoch=epoch, extra=extra,
+            partitioning={name: tuple(spec)} if spec else None,
+        )
 
     def expire_snapshots(self, keep_last: int = 2) -> None:
         """GC versioned data dirs unreachable from the kept manifests
