@@ -123,6 +123,70 @@ def test_winnowing_shared_substring(spark):
     assert not (fps[1] & fps[3] & fps[2]) or len(fps[1] & fps[3]) < len(fps[1] & fps[2])
 
 
+def test_ann_lsh_plan_has_no_bnlj(spark, embeddings):
+    """Probe expansion must keep the candidate join an EQUI-join: the r2
+    bit_count(xor)<=r theta form planned a BroadcastNestedLoopJoin, which
+    scans |vectors|x|queries| once the query side outgrows a broadcast."""
+    q = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lsh = similarity.ann_lsh_topk(embeddings, q, k=5, n_planes=4, probe_hamming=2)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_neardup_tiling_identical(spark, embeddings):
+    """Gram-matrix tiling is a pure memory optimization: a tile smaller
+    than the block must yield the exact same pair set (strip-boundary
+    pairs are the regression this pins)."""
+    whole = similarity.cosine_neardup_pairs(
+        embeddings, threshold=0.2, block_col=None, tile_rows=1 << 20
+    )
+    tiled = similarity.cosine_neardup_pairs(
+        embeddings, threshold=0.2, block_col=None, tile_rows=7
+    )
+    w = {(r["id_a"], r["id_b"], r["cos"]) for r in whole.collect()}
+    t = {(r["id_a"], r["id_b"], r["cos"]) for r in tiled.collect()}
+    assert w, "threshold should plant some pairs at sf0.001"
+    assert w == t
+
+
+def test_cosine_neardup_hot_block_completes(spark):
+    """A 50k-row single-label block: the untiled gram matrix would be
+    50k^2 x 8 B = 20 GB in ONE task (the r2 OOM cliff); the tiled form
+    holds only a tile_rows x 50k strip. Planted duplicate pair must
+    surface; runtime bounded by BLAS flops, not memory."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n, d = 50_000, 8
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    m[1] = m[0]  # planted exact duplicate → cos == 1.0
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                        "embedding": list(m)})
+    df = spark.createDataFrame(pdf)
+    out = similarity.cosine_neardup_pairs(
+        df, threshold=0.9999, block_col=None, tile_rows=4096
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 1) in pairs
+
+
+def test_spread_never_shrinks(spark, docs):
+    """_spread widens a single-split scan but must pass an already-wide
+    input through untouched (no Exchange shrinking a 100 TB table to the
+    core count)."""
+    wide_n = spark.sparkContext.defaultParallelism + 8
+    wide = docs.repartition(wide_n)
+    assert dedup._spread(wide) is wide
+    narrow = docs.coalesce(1)
+    assert (
+        dedup._spread(narrow).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
 def test_exact_dedup_representative(spark):
     pdf = pd.DataFrame(
         {"doc_id": [10, 7, 3, 9], "text": ["x y z", "x y z", "a b", "x y z"]}

@@ -18,7 +18,9 @@ from nlnieuwscrawler_spark.sources import fixtures
 N_EPOCHS = 4
 
 
-def _spark_run(spark, pages_df, use_bloom: bool, salt: int) -> Crawler:
+def _spark_run(
+    spark, pages_df, use_bloom: bool, salt: int, kind: str = "bloom"
+) -> Crawler:
     c = Crawler(
         spark,
         pages_df,
@@ -28,6 +30,7 @@ def _spark_run(spark, pages_df, use_bloom: bool, salt: int) -> Crawler:
             max_epochs=N_EPOCHS,
             use_bloom=use_bloom,
             salt=salt,
+            seen_filter_kind=kind,
             bloom_partitions=8,
             bloom_expected_keys=1 << 14,
             checkpoint=False,
@@ -49,9 +52,15 @@ def oracle(tiny_pages_pd):
     return _oracle_run(tiny_pages_pd)
 
 
-@pytest.fixture(scope="module")
-def engine(spark, tiny_pages_df):
-    return _spark_run(spark, tiny_pages_df, use_bloom=True, salt=1)
+@pytest.fixture(scope="module", params=["bloom", "cuckoo"])
+def engine(request, spark, tiny_pages_df):
+    """Full crawl under BOTH seen-filter variants: the probabilistic filter
+    is a pure optimization, so every equivalence assertion must hold
+    identically for bloom and cuckoo (VERDICT r2 #3: the cuckoo operator
+    was unit-tested but had never run an end-to-end crawl)."""
+    return _spark_run(
+        spark, tiny_pages_df, use_bloom=True, salt=1, kind=request.param
+    )
 
 
 def _log_frame(crawler: Crawler) -> pd.DataFrame:
