@@ -82,17 +82,19 @@ def run_crawl(spark, n_pages: int, epochs: int = 4) -> dict:
         ),
     )
     c.run(seeds=fixtures.seeds_df(spark))
-    # frontier URLs processed = attempted + candidates still carried
     processed = sum(m["attempted"] for m in c.metrics_rows)
     frontier_rows = c.frontier.count()
     wall = time.perf_counter() - t0
-    total_flow = processed + frontier_rows  # URLs that moved through the pipeline
     return {
         "attempted": processed,
         "frontier_end": frontier_rows,
         "epochs": c.epoch,
         "wall_sec": round(wall, 3),
-        "frontier_urls_per_sec": round(total_flow / wall, 1),
+        # headline = URLs actually ATTEMPTED per second (honest: rows still
+        # waiting in the frontier at cutoff did not get processed); the
+        # total-flow rate stays as a secondary diagnostic of pipeline volume
+        "frontier_urls_per_sec": round(processed / wall, 1),
+        "total_flow_urls_per_sec": round((processed + frontier_rows) / wall, 1),
     }
 
 
@@ -151,6 +153,74 @@ def main() -> None:
     n_pages = max(2000, int(200_000 * sf))
 
     from nlnieuwscrawler_spark.session import get_spark
+
+    if "--crawl-one-lc" in sys.argv:
+        # local-cluster[N, cores, memMB]: REAL separate executor JVMs (own
+        # heap, GC, Python worker pool) — the closest this box gets to the
+        # north rule's "N and 4N executors". Shares one memory bus, but
+        # unlike local[K] the JVM-internal contention (one heap, one GC,
+        # one scheduler) is gone, isolating the bus as the residual.
+        i = sys.argv.index("--crawl-one-lc")
+        n_exec, n_scaling = int(sys.argv[i + 1]), int(sys.argv[i + 2])
+        conf = {
+            "spark.task.cpus": "2",
+            "spark.executor.memory": "12g",
+            "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
+        }
+        if os.path.isdir("/dev/shm"):
+            os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
+            conf["spark.local.dir"] = "/dev/shm/spark-tmp"
+        spark = get_spark(
+            f"nlnc-bench-lc{n_exec}", master=f"local-cluster[{n_exec},8,12288]",
+            shuffle_partitions=max(n_exec * 16, 32), extra_conf=conf,
+        )
+        # ship the engine to the executors — the local[] legs inherit the
+        # driver's cwd, separate executor JVMs do not; this is exactly the
+        # north rule's `spark-submit --py-files engine.zip` deployment
+        import shutil
+
+        zip_path = shutil.make_archive(
+            "/tmp/nlnc_engine", "zip", os.path.dirname(os.path.abspath(__file__)),
+            "nlnieuwscrawler_spark",
+        )
+        spark.sparkContext.addPyFile(zip_path)
+        print(json.dumps(run_recrawl(spark, n_scaling)))
+        return
+
+    if "--scaling-lc" in sys.argv:
+        import statistics
+        import subprocess
+
+        n_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "1000000"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+        gen = get_spark("nlnc-gen", master="local[32]", shuffle_partitions=32)
+        _ensure_bench_corpus(gen, n_scaling)
+        gen.stop()
+        env = dict(os.environ, SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        runs: dict[int, list[dict]] = {1: [], 4: []}
+        for _ in range(reps):
+            for n_exec in (1, 4):
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--crawl-one-lc",
+                     str(n_exec), str(n_scaling)],
+                    capture_output=True, text=True, env=env, check=True,
+                )
+                runs[n_exec].append(json.loads(out.stdout.strip().splitlines()[-1]))
+        med = {
+            n_exec: statistics.median(r["frontier_urls_per_sec"] for r in rs)
+            for n_exec, rs in runs.items()
+        }
+        eff = round((med[4] / med[1]) / 4.0, 3)
+        print(json.dumps({
+            "metric": "scaling_efficiency_1x8_to_4x8_executors",
+            "value": eff, "unit": "ratio", "reps": reps,
+            "exec1x8": {"median_urls_per_sec": med[1],
+                        "runs": [r["frontier_urls_per_sec"] for r in runs[1]]},
+            "exec4x8": {"median_urls_per_sec": med[4],
+                        "runs": [r["frontier_urls_per_sec"] for r in runs[4]]},
+            "pages": n_scaling, "sf": sf,
+        }))
+        return
 
     if "--crawl-one" in sys.argv:
         # subprocess worker: fresh JVM per leg (clean heap, cold scheduler).

@@ -224,7 +224,10 @@ class BloomSeenSet:
             self.df.unionByName(delta)
             .groupBy("partition_id")
             .applyInPandas(or_reduce, FILTER_SCHEMA)
-            .localCheckpoint(eager=True)
+            # lazy: the n_items aggregate below is the job that computes
+            # (and thereby materializes) the checkpoint — eager=True would
+            # spend a whole extra job per epoch on the same work
+            .localCheckpoint(eager=False)
         )
         self.df = merged
         # metadata-sized aggregate (one long), not the bitmap
@@ -495,7 +498,9 @@ class CuckooSeenSet(BloomSeenSet):
             fps.groupBy("__pid")
             .cogroup(self.df.groupBy(F.col("partition_id").cast("int")))
             .applyInPandas(apply_group, FILTER_SCHEMA)
-            .localCheckpoint(eager=True)
+            # lazy for the same reason as the Bloom merge: the aggregate
+            # below materializes the checkpoint in its own job
+            .localCheckpoint(eager=False)
         )
         row = self.df.agg(F.sum("n_items").alias("n")).collect()[0]
         self.n_items = int(row["n"] or 0)

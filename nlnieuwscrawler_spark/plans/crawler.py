@@ -60,20 +60,27 @@ class Crawler:
         self.config = config or CrawlConfig()
         self.robots = robots
         # Pre-reduce the corpus to one row per url ONCE (the as-of index),
-        # keyed by the 64-bit url fingerprint, hash-partitioned to the
-        # session's shuffle-partition count and sorted by the join keys:
-        # the cached node then SATISFIES the per-epoch fetch join's
-        # distribution+ordering requirement, so the wide html payload is
-        # shuffled and sorted ZERO times per epoch — only the narrow
-        # frontier side moves. (Before: an exchange of the whole corpus
-        # per epoch, the recrawl bench's largest shuffle.)
+        # hash-partitioned to the session's shuffle-partition count and
+        # sorted by the join keys: the cached node then SATISFIES the
+        # per-epoch fetch join's distribution+ordering requirement, so the
+        # wide html payload is shuffled and sorted ZERO times per epoch —
+        # only the narrow frontier side moves.
+        #
+        # Partition on BOTH join keys (url_fp, url), not fp alone:
+        # spark.sql.requireAllClusterKeysForCoPartition defaults TRUE, so a
+        # subset partitioning does NOT get reused for the (url_fp, url)
+        # equi-join — the planner re-exchanged the whole cached index
+        # (html included) every epoch. Verified in the executed plan: the
+        # fp-only form showed `Exchange hashpartitioning(url_fp, url)` over
+        # the InMemoryTableScan (321 MB re-shuffled at 500k pages); the
+        # two-key form shows none.
         from nlnieuwscrawler_spark.functions import urls as U
 
         n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
         self.pages_latest = (
             asof.latest_snapshot(pages, "url", "warc_ts")
             .withColumn("url_fp", U.url_fingerprint(F.col("url")))
-            .repartition(n_shuffle, "url_fp")
+            .repartition(n_shuffle, "url_fp", "url")
             .sortWithinPartitions("url_fp", "url")
             .persist()
         )

@@ -41,7 +41,15 @@ class EpochResult:
 
 
 def seeds_frontier(seeds: DataFrame) -> DataFrame:
-    """O1: seed list → initial frontier (depth 0, priority 0)."""
+    """O1: seed list → initial frontier (depth 0, priority 0).
+
+    Deduped on url_fp: distinct raw seeds can canonicalize to ONE url
+    (http://a vs http://a/#frag), and the reference's visited-set never
+    fetches a canonical URL twice. Deterministic — rows sharing a fp are
+    fully identical here (all other columns are seed constants). This also
+    keeps fp-uniqueness a frontier INVARIANT (discovered links are already
+    fp-deduped), which the trace join-back in run_epoch relies on.
+    """
     canon = U.normalize_url(F.col("url"))
     return (
         seeds.select(canon.alias("url"))
@@ -53,6 +61,7 @@ def seeds_frontier(seeds: DataFrame) -> DataFrame:
         .withColumn("discovered_epoch", F.lit(-1))
         .withColumn("parent_fp", F.lit(None).cast("long"))
         .select(FRONTIER_COLS)
+        .dropDuplicates(["url_fp"])
     )
 
 
@@ -205,17 +214,23 @@ def run_epoch(
     if distributed_trace:
         from nlnieuwscrawler_spark.operators.sequence import global_sequence
 
-        seq_src = gated.select(
-            "url", "url_fp", "host", "depth", "sched_offset", "fetch_ts_offset",
-            "corpus_lang", "title", "text_sha", "page_lang", "status",
-        )
-        log = global_sequence(
+        # Enumerate over the NARROW order-key projection only (~24 B/row):
+        # the fat columns (url, title, text_sha) must not ride the range
+        # shuffle + sort + persist + checkpoint — measured at 1M URLs they
+        # made this the single biggest stage (341 MB moved and sorted vs
+        # ~20 MB narrow). The seq joins back 1:1 on url_fp (unique per
+        # attempt: the frontier is fp-deduped and politeness keeps at most
+        # one row per fp); `gated` is clustered on url_fp by the fetch
+        # join, so the join-back moves only the narrow side.
+        seq_src = gated.select("url_fp", "sched_offset", "host")
+        narrow = global_sequence(
             seq_src,
             [F.col("sched_offset").asc(), F.col("host").asc(), F.col("url_fp").asc()],
             seq_col="seq",
             base=seq_base,
             cache_registry=cached,
         )
+        log = gated.join(narrow.select("url_fp", "seq"), on="url_fp", how="inner")
     else:
         log = gated.withColumn(
             "seq",

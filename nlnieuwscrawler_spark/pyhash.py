@@ -66,9 +66,12 @@ def spark_murmur3_32(data: bytes | str, seed: int = 42) -> int:
 
 
 def url_fingerprint_py(url: str) -> int:
-    """Bit-identical twin of functions.urls.url_fingerprint (signed int64)."""
+    """Bit-identical twin of functions.urls.url_fingerprint (signed int64).
+
+    Salt is a PREFIX (see the urls.py docstring: suffix salting collapses
+    the pair to an effective 32-bit fingerprint for same-length URLs)."""
     h1 = spark_murmur3_32(url)
-    h2 = spark_murmur3_32(url + spec.FP_SALT)
+    h2 = spark_murmur3_32(spec.FP_SALT + url)
     fp = ((h1 << 32) | (h2 & 0xFFFFFFFF)) & 0xFFFFFFFFFFFFFFFF
     return fp - (1 << 64) if fp >= (1 << 63) else fp
 
