@@ -129,3 +129,91 @@ def winnow_fingerprints_udf(texts: pd.Series) -> pd.Series:
             sel = set(h[idx + rev_argmin].tolist())
         out.append(sorted(int(x) - (1 << 64) if x >= (1 << 63) else int(x) for x in sel))
     return pd.Series(out)
+
+
+# --------------------------------------------------------------------------
+# BM25 ranking + deterministic corpus splits (native relational compositions)
+# --------------------------------------------------------------------------
+
+def bm25_topk(
+    docs,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 top-k documents for a bag of query terms — all native exprs.
+
+    Okapi BM25 with the standard (k1, b) shape; idf = ln(1 + (N-df+0.5)/
+    (df+0.5)). Whitespace tokens (same tokenizer as token_stats). avgdl is
+    computed as exact-integer sum(doclen)/N so both engines derive the
+    IDENTICAL double (a float-avg aggregate would differ in summation
+    order). Scale shape: one explode→(doc,term) count agg (map-side
+    combined), a broadcast-sized per-term df table, top-k via
+    TakeOrderedAndProject. Keep |terms| ≤ 2 for exact-oracle float
+    equality (2-term double addition is commutative; ≥3 terms reorder).
+    Output: doc_id, score (rounded), n_tokens.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col_text(F.col(text_col)).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    d = d.withColumn("doclen", F.size("toks"))
+    stats = d.agg(
+        F.count("*").alias("n_docs"), F.sum("doclen").alias("sum_len")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["sum_len"]) / int(stats["n_docs"])
+
+    tf = (
+        d.select("doc_id", "doclen", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "doclen", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    per_term = tf.join(F.broadcast(df_), "tok").select(
+        "doc_id",
+        (
+            idf
+            * (F.col("tf") * (F.lit(k1) + 1.0))
+            / (F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("doclen") / F.lit(avgdl)))
+        ).alias("s"),
+        "doclen",
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("score"), F.min("doclen").alias("n_tokens"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def tokens_col_text(text):
+    """Whitespace tokens of lower(trim(text)) — the shared tokenizer."""
+    t = F.trim(F.lower(text))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def split_bucket(id_col):
+    """Deterministic engine-portable corpus split: first hex char of
+    md5(str(id)) → train ('0'-'b', 12/16 = 75%), val ('c'-'d', 12.5%),
+    test ('e'-'f', 12.5%). No RNG: the split is a pure function of the id,
+    so it is STABLE across engines, re-runs, and repartitioning — the
+    property a training pipeline needs so no example ever migrates between
+    train and eval."""
+    h = F.substring(F.md5(id_col.cast("string")), 1, 1)
+    return (
+        F.when(h <= "b", F.lit("train"))
+        .when(h <= "d", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )

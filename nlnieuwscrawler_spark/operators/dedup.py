@@ -194,6 +194,75 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------------------
+# near-dup clustering: connected components over the pair graph
+# --------------------------------------------------------------------------
+
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph → (doc_id, component).
+
+    The step AFTER any pairwise dedup family: near-dup pairs chain
+    (A~B, B~C ⇒ {A,B,C} is one duplicate cluster even when A~C missed the
+    threshold), and a training pipeline keeps ONE representative per
+    component, not per pair. Component label = min doc_id in the component.
+
+    Iterative min-label propagation with POINTER DOUBLING: each round a
+    node takes the min of its own label, its neighbors' labels, and its
+    label's label (path halving), so convergence is O(log diameter)
+    rounds, not O(diameter) — at web scale dup chains (mirrors of mirrors)
+    can be long. Every round is two bounded shuffles (edge join + label
+    self-join); per-round localCheckpoint cuts the iterative-lineage
+    blowup. Convergence detected by an exact decimal sum of labels
+    (labels only ever decrease, so equal sum ⟺ fixpoint).
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    lab = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nmin = (
+            edges.join(
+                lab.select(F.col("id").alias("dst"), F.col("label").alias("dlab")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlab").alias("nlab"))
+            .select(F.col("src").alias("id"), "nlab")
+        )
+        stepped = lab.join(nmin, "id", "left").select(
+            "id", F.least("label", F.coalesce("nlab", "label")).alias("label")
+        )
+        # pointer doubling: also adopt label(label)
+        ptr = stepped.select(
+            F.col("id").alias("pid"), F.col("label").alias("plab")
+        )
+        lab = (
+            stepped.join(ptr, stepped["label"] == ptr["pid"], "left")
+            .select(
+                "id", F.least("label", F.coalesce("plab", "label")).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = lab.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return lab.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
 

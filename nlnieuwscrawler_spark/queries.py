@@ -1720,6 +1720,135 @@ ORDER BY doc_id, idx
 """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the n-gram-Jaccard
+    pair graph (A~B, B~C ⇒ one cluster even when A~C missed the
+    threshold) — the step a training pipeline actually keys retention on.
+    Iterative min-label propagation with pointer doubling; oracled against
+    a DuckDB recursive-CTE transitive closure over the SAME naive pair
+    SQL."""
+    from nlnieuwscrawler_spark.operators.dedup import (
+        dedup_components,
+        ngram_jaccard_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5)
+    return dedup_components(pairs).orderBy("doc_id")
+
+
+ORACLE_DEDUP_COMPONENTS = """
+WITH RECURSIVE g AS (
+  SELECT doc_id, lang,
+    list_distinct(list_transform(
+      range(1, greatest(len(string_split_regex(trim(lower(text)),'\\s+'))-2,0)+1),
+      i -> string_split_regex(trim(lower(text)),'\\s+')[i] || ' ' ||
+           string_split_regex(trim(lower(text)),'\\s+')[i+1] || ' ' ||
+           string_split_regex(trim(lower(text)),'\\s+')[i+2])) AS grams
+  FROM documents
+), pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_filter(a.grams, x -> list_contains(b.grams, x)))::DOUBLE /
+             (len(a.grams) + len(b.grams)
+              - len(list_filter(a.grams, x -> list_contains(b.grams, x)))) AS jacc
+    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  ) WHERE jacc >= 0.5
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst))::BIGINT AS component
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
+def q_train_test_split(spark, sf_dir):
+    """Deterministic hash-based corpus split (train/val/test 75/12.5/12.5
+    by the first hex char of md5(doc_id)) — no RNG, so membership is
+    stable across engines/re-runs/repartitioning. sum(doc_id) per split
+    pins MEMBERSHIP exactly, not just sizes."""
+    from nlnieuwscrawler_spark.functions.text import split_bucket, token_count_ws
+
+    d = load(spark, sf_dir, "documents")
+    s = d.select(
+        split_bucket(F.col("doc_id")).alias("split"),
+        token_count_ws(F.col("text")).alias("n_tok"),
+        "doc_id",
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("split")
+    )
+
+
+ORACLE_TRAIN_TEST_SPLIT = """
+SELECT split, count(*) AS n_docs,
+       sum(n_tok)::BIGINT AS sum_tokens, sum(doc_id)::BIGINT AS sum_ids
+FROM (
+  SELECT CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) <= 'b' THEN 'train'
+              WHEN substr(md5(doc_id::VARCHAR), 1, 1) <= 'd' THEN 'val'
+              ELSE 'test' END AS split,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+         doc_id
+  FROM documents
+) GROUP BY split ORDER BY split
+"""
+
+
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-10 for a 2-term query over the documents table —
+    all native exprs (explode → tf agg → broadcast df join → top-k).
+    avgdl derives from an exact integer sum so both engines compute
+    identical doubles; 2-term score sums are commutative, so the rounded
+    scores match the oracle bit-for-bit."""
+    from nlnieuwscrawler_spark.functions.text import bm25_topk
+
+    d = load(spark, sf_dir, "documents")
+    return bm25_topk(d, terms=["vector", "stream"], k=10)
+
+
+ORACLE_BM25 = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE len(trim(text)) > 0
+), dl AS (
+  SELECT doc_id, len(toks) AS doclen, toks FROM d
+), stats AS (
+  SELECT count(*) AS n_docs, sum(doclen) AS sum_len FROM dl
+), tf AS (
+  SELECT doc_id, doclen, tok, count(*) AS tf
+  FROM (SELECT doc_id, doclen, unnest(toks) AS tok FROM dl)
+  WHERE tok IN ('vector', 'stream')
+  GROUP BY doc_id, doclen, tok
+), dft AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+)
+SELECT doc_id,
+       round(sum(
+         ln(1.0 + (stats.n_docs::DOUBLE - dft.df + 0.5) / (dft.df + 0.5))
+         * (tf.tf * (1.2 + 1.0))
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.doclen
+                           / (stats.sum_len::DOUBLE / stats.n_docs)))
+       ), 6) AS score,
+       min(doclen) AS n_tokens
+FROM tf, stats JOIN dft ON tf.tok = dft.tok
+GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1774,6 +1903,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_session": q_stream_session,
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
+    "dedup_components": q_dedup_components,
+    "train_test_split": q_train_test_split,
+    "bm25_search": q_bm25_search,
     # --- NO_ORACLE (rows-only) entries LAST: the grading driver checks the
     # registry in dict order with a bounded entry budget, so every oracle-
     # backed query must precede the rows-only ones or it silently drops out
@@ -1845,4 +1977,7 @@ ORACLE: dict[str, str] = {
     "stream_session": ORACLE_STREAM_SESSION,
     "media_features": ORACLE_MEDIA,
     "frame_sample": ORACLE_FRAME_SAMPLE,
+    "dedup_components": ORACLE_DEDUP_COMPONENTS,
+    "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
+    "bm25_search": ORACLE_BM25,
 }

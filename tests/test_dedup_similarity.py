@@ -194,3 +194,53 @@ def test_exact_dedup_representative(spark):
     out = dedup.dedup_exact(spark.createDataFrame(pdf)).collect()
     m = {r["keep_id"]: r["n_copies"] for r in out}
     assert m == {7: 3, 3: 1}
+
+
+def test_dedup_components_chain(spark):
+    """Transitive chains collapse to one component; disjoint pairs stay
+    separate; labels are the component-min doc_id."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2, 3, 4, 10], "doc_b": [2, 3, 4, 5, 11]})
+    )
+    out = {r["doc_id"]: r["component"]
+           for r in dedup.dedup_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dedup_components_long_chain_pointer_doubling(spark):
+    """A 64-node path converges within max_iter=10: pointer doubling gives
+    O(log diameter) rounds — plain neighbor-min propagation would need 63
+    and fail this budget."""
+    import numpy as np
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": np.arange(63), "doc_b": np.arange(1, 64)})
+    )
+    out = dedup.dedup_components(pairs, max_iter=10)
+    comps = {r["component"] for r in out.collect()}
+    assert comps == {0}
+    assert out.count() == 64
+
+
+def test_bm25_ranks_term_frequency(spark):
+    """More query-term occurrences (at comparable doclen) → higher score."""
+    from nlnieuwscrawler_spark.functions.text import bm25_topk
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["vector vector vector pad pad", "vector pad pad pad pad",
+                 "pad pad pad pad pad"],
+    })
+    out = bm25_topk(spark.createDataFrame(pdf), terms=["vector"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids == [1, 2]  # doc 3 has no query term → absent
+
+
+def test_split_bucket_partition_invariant(spark, docs):
+    """The md5 split is a pure function of the id: membership identical
+    under any repartitioning."""
+    from nlnieuwscrawler_spark.functions.text import split_bucket
+
+    a = docs.repartition(1).select("doc_id", split_bucket(F.col("doc_id")).alias("s"))
+    b = docs.repartition(13).select("doc_id", split_bucket(F.col("doc_id")).alias("s"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
