@@ -251,7 +251,9 @@ def dedup_components(
             .select(
                 "id", F.least("label", F.coalesce("plab", "label")).alias("label")
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence aggregate below materializes the
+            # checkpoint in the same job — one Spark job per round, not two
+            .localCheckpoint(eager=False)
         )
         cur = lab.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")

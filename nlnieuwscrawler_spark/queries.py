@@ -1733,7 +1733,10 @@ def q_dedup_components(spark, sf_dir):
     )
 
     d = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.5)
+    # τ=0.7 like the pairs query: at τ=0.5 the PPJoin prefix is |s|/2 and
+    # candidate generation dominates (16 s vs 4 s at sf0.1, same clusters
+    # for the planted dups)
+    pairs = ngram_jaccard_pairs(d, threshold=0.7)
     return dedup_components(pairs).orderBy("doc_id")
 
 
@@ -1753,7 +1756,7 @@ WITH RECURSIVE g AS (
              (len(a.grams) + len(b.grams)
               - len(list_filter(a.grams, x -> list_contains(b.grams, x)))) AS jacc
     FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
-  ) WHERE jacc >= 0.5
+  ) WHERE jacc >= 0.7
 ), edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
