@@ -123,3 +123,70 @@ def synth_media_from_documents(docs: DataFrame) -> DataFrame:
             F.array((F.col("doc_id") % 50 + 1).cast("string"), F.col("source")),
         ).alias("meta"),
     )
+
+
+RESIZE_SCHEMA_DDL = (
+    "media_id long, kind string, out_w int, out_h int, payload_resized binary"
+)
+
+
+def media_resize(
+    media: DataFrame, out_w: int = 8, out_h: int = 8, backend: str = "fake"
+) -> DataFrame:
+    """Image resize plumbing: payload → fixed (out_h × out_w) thumbnail.
+
+    The ``fake`` backend REALLY resizes — it interprets the payload as a
+    grayscale grid (dims from ``meta['width']/['height']``, else a square
+    inferred from the byte count; padded with zeros), then block-area
+    averages down to (out_h, out_w) uint8 — a pure, deterministic function
+    of the bytes, so goldens can pin it. A real decoder slots in where
+    noted; the Spark shape is identical either way: mapInPandas over Arrow
+    batches, output stays a ``binary`` column (never a string — no
+    re-encoding), embarrassingly parallel, no driver involvement.
+    """
+    if backend not in ("fake", "pillow"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend != "fake":
+        raise NotImplementedError(
+            "pillow codec not available in this environment; implement "
+            "Image.open(BytesIO(payload)).resize((out_w, out_h)) here."
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for b, meta in zip(pdf["payload"], pdf["meta"]):
+                raw = np.frombuffer(bytes(b or b""), dtype=np.uint8)
+                meta = meta or {}
+                w = int(meta.get("width") or 0)
+                h = int(meta.get("height") or 0)
+                if w <= 0 or h <= 0:
+                    side = max(1, int(np.ceil(np.sqrt(max(len(raw), 1)))))
+                    w = h = side
+                grid = np.zeros(h * w, dtype=np.float64)
+                grid[: min(len(raw), h * w)] = raw[: h * w]
+                grid = grid.reshape(h, w)
+                # block-area average: split rows/cols into out_h/out_w
+                # near-equal chunks (exact for divisible dims)
+                r_edges = np.linspace(0, h, out_h + 1).astype(int)
+                c_edges = np.linspace(0, w, out_w + 1).astype(int)
+                thumb = np.zeros((out_h, out_w), dtype=np.uint8)
+                for i in range(out_h):
+                    r0, r1 = r_edges[i], max(r_edges[i + 1], r_edges[i] + 1)
+                    for j in range(out_w):
+                        c0, c1 = c_edges[j], max(c_edges[j + 1], c_edges[j] + 1)
+                        thumb[i, j] = int(grid[r0:r1, c0:c1].mean())
+                outs.append(thumb.tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "payload_resized": outs,
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, RESIZE_SCHEMA_DDL
+    )

@@ -1852,6 +1852,23 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_media_resize(spark, sf_dir):
+    """Image-resize plumbing (deterministic fake decoder: grayscale grid →
+    block-area-averaged 8×8 thumbnail as binary). Rows-only: the byte-level
+    resize has no SQL twin; goldens pin it in tests/test_streaming_media.py."""
+    from nlnieuwscrawler_spark.multimodal.media import (
+        media_resize,
+        synth_media_from_documents,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    r = media_resize(synth_media_from_documents(d), out_w=8, out_h=8)
+    return r.select(
+        "media_id", "out_w", "out_h",
+        F.length("payload_resized").alias("n_bytes"),
+    ).orderBy("media_id")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1920,6 +1937,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "approx_stats": q_approx_stats,
     "crawl_epoch": q_crawl_epoch,
+    "media_resize": q_media_resize,
 }
 
 #: queries with no DuckDB oracle (engine-side hash/sketch algorithms) —
@@ -1927,7 +1945,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #: (LSH recall vs exact pairs, SimHash determinism, winnowing properties).
 NO_ORACLE = {
     "minhash_lsh_pairs", "simhash_pairs", "ann_lsh", "ann_ivf",
-    "winnow_fingerprints", "approx_stats", "crawl_epoch",
+    "winnow_fingerprints", "approx_stats", "crawl_epoch", "media_resize",
 }
 
 ORACLE: dict[str, str] = {

@@ -149,6 +149,14 @@ class SnapshotStore:
                 "rows": written.count(),
                 "lineage": lineage,
                 "partitioning": list(spec) if spec is not None else None,
+                # manifest-recorded schema (Iceberg: schema lives in table
+                # metadata, not the data files) — the read path projects
+                # files to THIS, which is what makes rewrite-free column
+                # adds possible (add_column)
+                "schema": [
+                    [f.name, f.dataType.simpleString()]
+                    for f in df.schema.fields
+                ],
             }
         mpath = os.path.join(self.root, "_manifests", f"manifest-{version}.json")
         with open(mpath + ".tmp", "w") as f:
@@ -190,6 +198,19 @@ class SnapshotStore:
                 )
         if self.PARTITION_COL in df.columns:
             df = df.drop(self.PARTITION_COL)  # hidden: readers never see it
+        # project to the MANIFEST schema (Iceberg read path): columns added
+        # by add_column after these files were written materialize as typed
+        # nulls; column order follows the manifest, so every snapshot of a
+        # table presents one consistent shape regardless of file vintage
+        schema = meta.get("schema")
+        if schema:
+            cols = []
+            for cname, ctype in schema:
+                if cname in df.columns:
+                    cols.append(F.col(cname))
+                else:
+                    cols.append(F.lit(None).cast(ctype).alias(cname))
+            df = df.select(*cols)
         return df
 
     # -- MERGE INTO (copy-on-write upsert/delete) ---------------------------
@@ -254,6 +275,46 @@ class SnapshotStore:
             spark, {name: df}, epoch=epoch, extra=extra,
             partitioning={name: tuple(spec)} if spec else None,
         )
+
+    def add_column(
+        self,
+        name: str,
+        col_name: str,
+        col_type: str,
+        epoch: int,
+    ) -> int:
+        """Iceberg rewrite-free schema evolution (ALTER TABLE ADD COLUMN):
+        commit a new snapshot whose manifest schema gains ``col_name`` but
+        whose data files are the PREVIOUS version's, untouched — readers of
+        the new snapshot see the column as typed nulls until a later commit
+        writes it; readers of older snapshots (time travel) never see it.
+        Zero data movement — the whole point at 100 TB."""
+        prev = self.read_manifest()
+        if prev is None or name not in prev["tables"]:
+            raise KeyError(f"no snapshot for table {name!r}")
+        meta = dict(prev["tables"][name])
+        schema = [list(c) for c in (meta.get("schema") or [])]
+        if any(c[0] == col_name for c in schema):
+            raise ValueError(f"column {col_name!r} already exists on {name!r}")
+        schema.append([col_name, col_type])
+        meta["schema"] = schema
+        version = prev["version"] + 1
+        entry = {
+            "version": version,
+            "epoch": epoch,
+            "committed_at": time.time(),
+            "tables": {**prev["tables"], name: meta},
+            "extra": dict(prev.get("extra") or {}),
+        }
+        mpath = os.path.join(self.root, "_manifests", f"manifest-{version}.json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(entry, f, indent=1, default=str)
+        os.replace(mpath + ".tmp", mpath)
+        ptr = os.path.join(self.root, "_CURRENT")
+        with open(ptr + ".tmp", "w") as f:
+            f.write(str(version))
+        os.replace(ptr + ".tmp", ptr)
+        return version
 
     def expire_snapshots(self, keep_last: int = 2) -> None:
         """GC versioned data dirs unreachable from the kept manifests

@@ -88,3 +88,44 @@ def test_media_features_feed_similarity(spark, docs):
     )
     out = ann_bruteforce_topk(vecs, q, k=3)
     assert out.count() == 6
+
+
+def test_media_resize_golden(spark):
+    """Exact block-average: a 4x4 gradient with declared dims -> 2x2
+    thumbnail [2,4,10,12] (means 2.5/4.5/10.5/12.5 truncated to uint8)."""
+    import numpy as np
+    import pandas as pd
+
+    from nlnieuwscrawler_spark.multimodal.media import media_resize
+
+    payload = bytes(range(16))
+    pdf = pd.DataFrame({
+        "media_id": [1], "kind": ["image"], "payload": [payload],
+        "meta": [{"width": "4", "height": "4"}],
+    })
+    df = spark.createDataFrame(pdf, "media_id long, kind string, payload binary, meta map<string,string>")
+    out = media_resize(df, out_w=2, out_h=2).collect()
+    assert len(out) == 1
+    thumb = np.frombuffer(bytes(out[0]["payload_resized"]), dtype=np.uint8)
+    assert thumb.tolist() == [2, 4, 10, 12]
+
+
+def test_media_resize_partition_invariant(spark):
+    """Pure function of the bytes: identical output at any parallelism,
+    fixed 64-byte thumbnails, only image rows pass."""
+    from pyspark.sql import functions as F
+
+    from nlnieuwscrawler_spark.multimodal.media import (
+        media_resize,
+        synth_media_from_documents,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m = synth_media_from_documents(d)
+    a = media_resize(m.repartition(1)).select("media_id", "payload_resized")
+    b = media_resize(m.repartition(7)).select("media_id", "payload_resized")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    r = media_resize(m)
+    assert r.filter(F.length("payload_resized") != 64).count() == 0
+    kinds = {x["kind"] for x in r.select("kind").distinct().collect()}
+    assert kinds == {"image"}

@@ -112,3 +112,32 @@ def test_compact_rewrites_small_files(spark, store):
     # same rows, and the pre-compaction snapshot still time-travels
     assert store.read_table(spark, "t").count() == 5000
     assert store.read_table(spark, "t", version=v1).count() == 5000
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg-style rewrite-free ADD COLUMN: new snapshot shows the column
+    as typed nulls over the OLD files; a later write populates it; time
+    travel to the pre-evolution snapshot never shows it."""
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(str(tmp_path / "evo"))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    v1 = store.commit(spark, {"t": df1}, epoch=0, lineage_bucket_col=None)
+    v2 = store.add_column("t", "score", "double", epoch=1)
+    evolved = store.read_table(spark, "t")
+    assert evolved.columns == ["id", "name", "score"]
+    assert evolved.filter(F.col("score").isNotNull()).count() == 0
+    assert dict(evolved.dtypes)["score"] == "double"
+    # a later commit writes real values
+    df3 = evolved.withColumn("score", F.col("id") * 1.5)
+    v3 = store.commit(spark, {"t": df3}, epoch=2, lineage_bucket_col=None)
+    got = {r["id"]: r["score"] for r in store.read_table(spark, "t").collect()}
+    assert got == {1: 1.5, 2: 3.0}
+    # time travel: v1 has no column; v2 has the null column over v1's files
+    assert store.read_table(spark, "t", v1).columns == ["id", "name"]
+    t2 = store.read_table(spark, "t", v2)
+    assert t2.columns == ["id", "name", "score"]
+    assert t2.filter(F.col("score").isNotNull()).count() == 0
+    # the evolution commit moved ZERO data: v2 references v1's files
+    m1, m2 = store.read_manifest(v1), store.read_manifest(v2)
+    assert m1["tables"]["t"]["path"] == m2["tables"]["t"]["path"]
