@@ -17,6 +17,7 @@ by tests/test_robots.py.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -65,4 +66,95 @@ def robots_filter(
         )
         .filter(F.col("__allowed"))
         .drop("__r_host", "rules", "__allowed")
+    )
+
+
+ROBOTS_PARSE_DDL = (
+    "rules array<struct<allow:boolean, path:string, order:int>>, "
+    "crawl_delay double, sitemaps array<string>"
+)
+
+
+def parse_robots_txt(content_col: Column, agent: str = "*") -> Column:
+    """Parse raw robots.txt text → (rules, crawl_delay, sitemaps) struct.
+
+    Arrow-vectorized UDF implementing the stdlib ``urllib.robotparser``
+    grouping model: directives apply to the most recent ``User-agent``
+    group; the group matching ``agent`` (with ``*`` fallback) wins;
+    ``Sitemap`` is global. Rule order preserved (first-match evaluation
+    downstream in :func:`robots_allowed`). Empty/None content → no rules
+    (allow-all), matching a crawler that found no robots.txt.
+    """
+    @F.pandas_udf(ROBOTS_PARSE_DDL)
+    def parse(contents: pd.Series) -> pd.DataFrame:
+        out_rules, out_delay, out_maps = [], [], []
+        for text in contents:
+            groups: dict[str, list] = {}
+            delays: dict[str, float] = {}
+            sitemaps: list[str] = []
+            current: list[str] = []
+            seen_directive = True
+            for raw in (text or "").splitlines():
+                line = raw.split("#", 1)[0].strip()
+                if not line or ":" not in line:
+                    continue
+                key, _, val = line.partition(":")
+                key, val = key.strip().lower(), val.strip()
+                if key == "user-agent":
+                    # consecutive User-agent lines share one group
+                    if seen_directive:
+                        current = []
+                        seen_directive = False
+                    current.append(val.lower())
+                    for a in current:
+                        groups.setdefault(a, groups.get(a, []))
+                    continue
+                seen_directive = True
+                if key == "sitemap":
+                    sitemaps.append(val)
+                elif key in ("allow", "disallow") and current:
+                    for a in current:
+                        if key == "disallow" and val == "":
+                            continue  # empty Disallow = allow all (no rule)
+                        groups.setdefault(a, []).append(
+                            {"allow": key == "allow", "path": val}
+                        )
+                elif key == "crawl-delay" and current:
+                    try:
+                        for a in current:
+                            delays[a] = float(val)
+                    except ValueError:
+                        pass
+            pick = agent.lower() if agent.lower() in groups else "*"
+            rules = [
+                {"allow": r["allow"], "path": r["path"], "order": i}
+                for i, r in enumerate(groups.get(pick, []))
+            ]
+            out_rules.append(rules)
+            out_delay.append(delays.get(pick))
+            out_maps.append(sitemaps)
+        return pd.DataFrame(
+            {"rules": out_rules, "crawl_delay": out_delay, "sitemaps": out_maps}
+        )
+
+    return parse(content_col)
+
+
+def robots_from_responses(
+    responses: DataFrame, host_col: str = "host", content_col: str = "content",
+    agent: str = "*",
+) -> DataFrame:
+    """(host, robots.txt text) → the engine's robots dimension table —
+    the ingestion step the reference performs with urllib.robotparser on
+    every newly-seen host. Output feeds :func:`robots_filter` directly."""
+    parsed = responses.select(
+        F.col(host_col).alias("host"),
+        parse_robots_txt(F.col(content_col), agent).alias("__p"),
+    )
+    return parsed.select(
+        "host",
+        F.lit(agent).alias("agent"),
+        F.col("__p.rules").alias("rules"),
+        F.col("__p.crawl_delay").alias("crawl_delay"),
+        F.col("__p.sitemaps").alias("sitemaps"),
     )

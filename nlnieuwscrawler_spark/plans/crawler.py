@@ -138,8 +138,10 @@ class Crawler:
             epoch_seconds=self.config.epoch_seconds,
             distributed_trace=self.config.distributed_trace,
         )
-        # materialize the epoch's log once; everything downstream reuses it
-        log_cached = res.crawl_log.persist()
+        # materialize the epoch's log ONCE via localCheckpoint — it serves
+        # as the lineage cut AND the source for the status counts, so the
+        # old persist + separate eager checkpoint pair (two jobs) is one job
+        log_cached = res.crawl_log.localCheckpoint(eager=True)
         by_status = {
             r["status"]: r["count"]
             for r in log_cached.groupBy("status").count().collect()
@@ -174,8 +176,7 @@ class Crawler:
         else:
             self.frontier = res.frontier.localCheckpoint(eager=True)
             self.seen_keys = next_seen.localCheckpoint(eager=True)
-            log_df = log_cached.localCheckpoint(eager=True)
-        log_cached.unpersist()
+            log_df = log_cached  # already checkpoint-materialized above
         for c in res.cached:
             c.unpersist()
 

@@ -66,3 +66,82 @@ def test_disallow_all_host_filtered(spark):
         pd.DataFrame([{"host": "nrc.nl", "path": "/x.html", "url_fp": 1}])
     )
     assert robots_filter(cand, fixtures.robots_df(spark)).count() == 0
+
+
+def test_parse_robots_txt_roundtrip_fixture(spark):
+    """Parsing the fixture's generated robots.txt text reproduces the
+    fixture's structured rules/crawl_delay/sitemaps exactly."""
+    from nlnieuwscrawler_spark.operators.robots import robots_from_responses
+
+    rows = [
+        {"host": h, "content": fixtures.robots_txt(h)}
+        for h in fixtures.ROBOTS_FIXTURE
+    ]
+    parsed = robots_from_responses(
+        spark.createDataFrame(pd.DataFrame(rows), "host string, content string")
+    )
+    got = {r["host"]: r for r in parsed.collect()}
+    for want in fixtures.robots_rows():
+        g = got[want["host"]]
+        assert [
+            (r["allow"], r["path"], r["order"]) for r in g["rules"]
+        ] == [(r["allow"], r["path"], r["order"]) for r in want["rules"]], want["host"]
+        assert g["crawl_delay"] == want["crawl_delay"]
+        assert list(g["sitemaps"]) == want["sitemaps"]
+
+
+def test_parse_robots_txt_end_to_end_matches_stdlib(spark):
+    """PARSED-from-text rules drive the same allow/deny decisions the
+    stdlib robotparser makes on the same text (full ingestion parity:
+    text -> parse -> robots_allowed == robotparser.can_fetch)."""
+    from nlnieuwscrawler_spark.operators.robots import robots_from_responses
+
+    want = _stdlib_decisions()
+    robots = robots_from_responses(
+        spark.createDataFrame(
+            pd.DataFrame(
+                [{"host": h, "content": fixtures.robots_txt(h)}
+                 for h in fixtures.ROBOTS_FIXTURE]
+            ),
+            "host string, content string",
+        )
+    )
+    cand = spark.createDataFrame(
+        pd.DataFrame([{"host": h, "path": p} for h, p, _ in want])
+    )
+    joined = cand.join(robots.select("host", "rules"), "host", "left").withColumn(
+        "allowed", robots_allowed(F.col("path"), F.col("rules"))
+    )
+    got = {(r["host"], r["path"]): r["allowed"] for r in joined.collect()}
+    for host, p, allowed in want:
+        assert got[(host, p)] == allowed, (host, p)
+
+
+def test_parse_robots_txt_agent_groups(spark):
+    """Group selection: a specific agent's group beats '*'; consecutive
+    User-agent lines share a group; empty Disallow adds no rule; Sitemap
+    is global."""
+    from nlnieuwscrawler_spark.operators.robots import robots_from_responses
+
+    text = (
+        "User-agent: googlebot\n"
+        "User-agent: bingbot\n"
+        "Disallow: /private\n"
+        "Crawl-delay: 2.5\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow:\n"
+        "Allow: /\n"
+        "Sitemap: https://ex.nl/sitemap.xml\n"
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame([{"host": "ex.nl", "content": text}]),
+        "host string, content string",
+    )
+    star = robots_from_responses(df).collect()[0]
+    assert [(r["allow"], r["path"]) for r in star["rules"]] == [(True, "/")]
+    assert star["crawl_delay"] is None
+    assert list(star["sitemaps"]) == ["https://ex.nl/sitemap.xml"]
+    goog = robots_from_responses(df, agent="GoogleBot").collect()[0]
+    assert [(r["allow"], r["path"]) for r in goog["rules"]] == [(False, "/private")]
+    assert goog["crawl_delay"] == 2.5
