@@ -138,15 +138,24 @@ class Crawler:
             epoch_seconds=self.config.epoch_seconds,
             distributed_trace=self.config.distributed_trace,
         )
-        # materialize the epoch's log ONCE via localCheckpoint — it serves
-        # as the lineage cut AND the source for the status counts, so the
-        # old persist + separate eager checkpoint pair (two jobs) is one job
-        log_cached = res.crawl_log.localCheckpoint(eager=True)
-        by_status = {
-            r["status"]: r["count"]
-            for r in log_cached.groupBy("status").count().collect()
-        }
-        attempts = sum(by_status.values())
+        # materialize the epoch's log ONCE via localCheckpoint, collecting
+        # the status counts DURING that job with the Observation API — the
+        # metrics ride the materialization pass instead of costing a
+        # separate groupBy job per epoch (r1: persist + groupBy + eager
+        # checkpoint = 3 passes; now: 1)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        log_cached = res.crawl_log.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("status") == "ok").alias("ok"),
+            F.count_if(F.col("status") == "lang").alias("lang"),
+            F.count_if(F.col("status") == "miss").alias("miss"),
+        ).localCheckpoint(eager=True)
+        o = obs.get  # available once the checkpoint job finished
+        by_status = {k: o[k] for k in ("ok", "lang", "miss") if o[k]}
+        attempts = int(o["n"])
         next_seen = self.seen_keys.unionByName(res.new_seen.select("url_fp"))
 
         if self.config.use_bloom:

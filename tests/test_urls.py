@@ -140,3 +140,54 @@ def test_parity_on_adversarial_random_urls(spark):
         (u, g, w) for u, g, w in zip(cases, got, want) if g != w
     ]
     assert not mismatches, mismatches[:5]
+
+
+# --------------------------------------------------------------------------
+# property-based (hypothesis) — on the pure-Python twin, which tests/test_urls
+# proves Spark-identical on pinned + fuzzed corpora above
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_urlish = st.one_of(
+    st.text(max_size=80),
+    st.builds(
+        lambda scheme, host, path, q, frag: f"{scheme}://{host}{path}{q}{frag}",
+        st.sampled_from(["http", "https", "HTTP", "ftp", "mailto"]),
+        st.from_regex(r"[A-Za-z0-9.\-]{1,20}(:[0-9]{1,5})?", fullmatch=True),
+        st.from_regex(r"(/[A-Za-z0-9._~%\-]{0,10}){0,4}/?", fullmatch=True),
+        st.sampled_from(["", "?a=1", "?a=1&b=2", "?"]),
+        st.sampled_from(["", "#frag", "#", "#a/b?c"]),
+    ),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(u=_urlish)
+def test_normalize_idempotent_property(u):
+    """normalize ∘ normalize ≡ normalize: a canonical URL re-entering the
+    frontier (every discovered link does) must not drift — otherwise
+    fingerprints change between epochs and the seen-set breaks."""
+    from nlnieuwscrawler_spark.oracle import pyurls
+
+    once = pyurls.normalize_url(u)
+    if once is not None:
+        assert pyurls.normalize_url(once) == once
+
+
+@settings(max_examples=300, deadline=None)
+@given(base=_urlish, href=st.one_of(_urlish, st.sampled_from(
+    ["../a", "./b", "//cdn.x.nl/i.js", "?q=1", "#f", "a/b/../c", ""])))
+def test_canonicalize_absolute_or_rejected_property(base, href):
+    """canonicalize either rejects (None) or yields an absolute http(s) URL
+    that is itself a fixpoint of normalize — the frontier invariant."""
+    from nlnieuwscrawler_spark.oracle import pyurls
+
+    nb = pyurls.normalize_url(base)
+    if nb is None:
+        return
+    out = pyurls.canonicalize(nb, href)
+    if out is not None:
+        assert out.startswith(("http://", "https://"))
+        assert "#" not in out
+        assert pyurls.normalize_url(out) == out
