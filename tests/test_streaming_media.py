@@ -129,3 +129,20 @@ def test_media_resize_partition_invariant(spark):
     assert r.filter(F.length("payload_resized") != 64).count() == 0
     kinds = {x["kind"] for x in r.select("kind").distinct().collect()}
     assert kinds == {"image"}
+
+
+def test_decode_features_arrow_equals_pandas(spark):
+    """mapInArrow decode is row-identical to the mapInPandas form — the
+    Arrow-native path is a pure transport change, never a semantic one."""
+    from nlnieuwscrawler_spark.multimodal.media import (
+        decode_features,
+        decode_features_arrow,
+        synth_media_from_documents,
+    )
+
+    m = synth_media_from_documents(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    a = decode_features(m, backend="fake")
+    b = decode_features_arrow(m)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
