@@ -130,3 +130,56 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_fetch_index_not_reexchanged(spark, tiny_pages_df):
+    """Regression for the round-3 find: with
+    requireAllClusterKeysForCoPartition=true (Spark >= 3.3 default), an
+    index cached on a SUBSET of the fetch-join keys is silently
+    re-exchanged (the whole html payload, every epoch). The index is
+    partitioned on BOTH (url_fp, url); the executed fetch-join plan must
+    show NO Exchange feeding the index-side InMemoryTableScan."""
+    from nlnieuwscrawler_spark.plans.crawler import Crawler, CrawlConfig
+    from nlnieuwscrawler_spark.sources import fixtures
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # tiny fixtures would broadcast the index (also shuffle-free, but
+        # not the path under test at corpus scale) — force the SMJ path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        c = Crawler(
+            spark, tiny_pages_df, fixtures.robots_df(spark), None,
+            CrawlConfig(max_epochs=1, use_bloom=False, checkpoint=False),
+        )
+        c.pages_latest.count()  # materialize the cache (as the crawl does)
+        c.start(fixtures.seeds_df(spark))
+        c.step()
+        log = c.crawl_log_parts[0]
+        assert log.count() > 0
+        # inspect the executed plan of a fresh epoch's crawl_log
+        from nlnieuwscrawler_spark.plans import epoch as epoch_plan
+
+        res = epoch_plan.run_epoch(
+            c.frontier, c.pages_latest, c.robots, c.seen_keys,
+            epoch=1, bloom=None, seq_base=c.seq_base,
+        )
+        res.crawl_log.count()
+        plan = res.crawl_log._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        # only the corpus-index scan matters (it carries the html payload);
+        # the gated cache feeding the single-partition trace window has a
+        # legitimate ENSURE_REQUIREMENTS exchange above it
+        scan_idx = [
+            i for i, l in enumerate(lines)
+            if "InMemoryTableScan" in l and "html" in l
+        ]
+        assert scan_idx, plan
+        for i in scan_idx:
+            # allow the cached REPARTITION exchange INSIDE the relation,
+            # forbid an ENSURE_REQUIREMENTS exchange feeding the scan
+            above = "\n".join(lines[max(0, i - 3): i])
+            assert "ENSURE_REQUIREMENTS" not in above, plan
+        for cc in res.cached:
+            cc.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
