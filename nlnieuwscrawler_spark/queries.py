@@ -816,6 +816,44 @@ FROM orders GROUP BY 1 ORDER BY yr
 """
 
 
+def q_percent_rank_cume(spark, sf_dir):
+    """percent_rank + cume_dist analytics (the distribution-window family
+    the ranking queries don't cover): position of each nation's total
+    account balance within its region. Small frame → exact float parity
+    (both engines compute (rank-1)/(n-1) and rank/n on identical longs)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    per_nation = (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_regionkey", "n_name")
+        .agg(dsum("c_acctbal").alias("bal"))
+    )
+    w = Window.partitionBy("n_regionkey").orderBy(F.asc("bal"), F.asc("n_name"))
+    return per_nation.select(
+        "n_regionkey",
+        "n_name",
+        "bal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("n_regionkey", "n_name")
+
+
+ORACLE_PERCENT_RANK = """
+WITH per_nation AS (
+  SELECT n_regionkey, n_name,
+         round(sum(CAST(c_acctbal AS DECIMAL(25,6))), 2)::DOUBLE AS bal
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_regionkey, n_name
+)
+SELECT n_regionkey, n_name, bal,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM per_nation
+WINDOW w AS (PARTITION BY n_regionkey ORDER BY bal, n_name)
+ORDER BY n_regionkey, n_name
+"""
+
+
 def q_ntile_buckets(spark, sf_dir):
     """ntile + first/last window analytics over customer balances."""
     c = load(spark, sf_dir, "customer")
@@ -1908,6 +1946,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentiles": q_percentiles,
     "orders_per_year": q_orders_per_year,
     "ntile_buckets": q_ntile_buckets,
+    "percent_rank_cume": q_percent_rank_cume,
     "map_props": q_map_props,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_bruteforce": q_ann_bruteforce,
@@ -1983,6 +2022,7 @@ ORACLE: dict[str, str] = {
     "percentiles": ORACLE_PERCENTILES,
     "orders_per_year": ORACLE_PER_YEAR,
     "ntile_buckets": ORACLE_NTILE,
+    "percent_rank_cume": ORACLE_PERCENT_RANK,
     "map_props": ORACLE_MAP_PROPS,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
     "ann_bruteforce": ORACLE_ANN_BRUTE,
