@@ -70,27 +70,37 @@ def asof_join(
     rts = right_ts + suffix if right_ts in lcols else right_ts
     l = left.withColumn(lid, F.monotonically_increasing_id())
     if how == "left":
-        # monotonically_increasing_id is NONdeterministic (partition id +
-        # within-partition order); the left branch evaluates ``l`` twice
-        # (rank window AND the anti-join below). Recomputation — e.g. a
-        # shuffle upstream of ``left`` replaying in a different order —
-        # could assign different ids per evaluation, re-emitting matched
-        # rows as null-padded "missing" and dropping real misses. Pin the
-        # ids by materializing the stamped left exactly once.
-        l = l.localCheckpoint(eager=True)
+        # Single-reference plan: monotonically_increasing_id is
+        # NONdeterministic, so ``l`` must be evaluated exactly ONCE. An
+        # earlier version branched (rank window + anti-join for misses)
+        # and pinned the ids with an eager localCheckpoint — which ran a
+        # job at plan-construction time and leaked executor storage for
+        # the session lifetime (never unpersisted). Instead: one LEFT
+        # OUTER join, rank with qualifying matches first, keep rn=1, and
+        # null out the right side when the kept row doesn't qualify. The
+        # id is then only ever consumed inside the same single evaluation
+        # (the window partitioning), exactly like the inner path.
+        renamed = [c + suffix if c in lcols else c for c in rcols]
+        joined = l.join(r, on=on, how="left")
+        ok = F.coalesce(F.col(rts) <= F.col(left_ts), F.lit(False))
+        w = Window.partitionBy(lid).orderBy(
+            ok.desc(), F.col(rts).desc_nulls_last()
+        )
+        best = (
+            joined.withColumn("__ok", ok)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+        )
+        # non-qualifying survivor → typed-null pad (the column keeps its
+        # own type through F.when, so the schema never drifts to NullType)
+        for c in renamed:
+            best = best.withColumn(
+                c, F.when(F.col("__ok"), F.col(c))
+            )
+        return best.drop("__ok", "__rn", lid)
     joined = l.join(r, on=on, how="inner").filter(F.col(rts) <= F.col(left_ts))
     w = Window.partitionBy(lid).orderBy(F.col(rts).desc())
     best = joined.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") == 1
     ).drop("__rn")
-    if how == "left":
-        missing = l.join(best.select(lid), on=lid, how="left_anti")
-        # pad with TYPED nulls: untyped F.lit(None) is NullType and drifts
-        # the schema if the result is written
-        for f in best.schema.fields:
-            if f.name not in l.columns:
-                missing = missing.withColumn(
-                    f.name, F.lit(None).cast(f.dataType)
-                )
-        best = best.unionByName(missing.select(best.columns))
     return best.drop(lid)

@@ -202,6 +202,7 @@ def dedup_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 50,
+    reliable: bool = False,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph → (doc_id, component).
 
@@ -215,18 +216,26 @@ def dedup_components(
     label's label (path halving), so convergence is O(log diameter)
     rounds, not O(diameter) — at web scale dup chains (mirrors of mirrors)
     can be long. Every round is two bounded shuffles (edge join + label
-    self-join); per-round localCheckpoint cuts the iterative-lineage
-    blowup. Convergence detected by an exact decimal sum of labels
-    (labels only ever decrease, so equal sum ⟺ fixpoint).
+    self-join); a per-round lineage cut stops the iterative-plan blowup —
+    ``reliable=True`` routes it through the SparkContext checkpoint dir
+    (survives executor loss; the 100 TB mode — see operators/checkpoint),
+    default is ``localCheckpoint`` (fast, single-box/test mode).
+    Convergence detected by an exact decimal sum of labels (labels only
+    ever decrease, so equal sum ⟺ fixpoint).
     """
+    from nlnieuwscrawler_spark.operators.checkpoint import cut_lineage
+
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
-    lab = (
+    edges = cut_lineage(
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct(),
+        reliable,
+    )
+    lab = cut_lineage(
         edges.select(F.col("src").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
+        .withColumn("label", F.col("id")),
+        reliable,
     )
     prev_sum = None
     for _ in range(max_iter):
@@ -246,14 +255,15 @@ def dedup_components(
         ptr = stepped.select(
             F.col("id").alias("pid"), F.col("label").alias("plab")
         )
-        lab = (
+        lab = cut_lineage(
             stepped.join(ptr, stepped["label"] == ptr["pid"], "left")
             .select(
                 "id", F.least("label", F.coalesce("plab", "label")).alias("label")
-            )
+            ),
+            reliable,
             # lazy: the convergence aggregate below materializes the
             # checkpoint in the same job — one Spark job per round, not two
-            .localCheckpoint(eager=False)
+            eager=False,
         )
         cur = lab.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")

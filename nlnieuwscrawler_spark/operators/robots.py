@@ -125,7 +125,17 @@ def parse_robots_txt(content_col: Column, agent: str = "*") -> Column:
                             delays[a] = float(val)
                     except ValueError:
                         pass
-            pick = agent.lower() if agent.lower() in groups else "*"
+            # Group selection follows urllib.robotparser.Entry.applies_to:
+            # the UA's product token (before any '/version') is matched by
+            # SUBSTRING against each named group, first declared group wins,
+            # '*' is the fallback — so 'nlbot/1.0' matches 'User-agent:
+            # nlbot' (exact-match-only would silently fall back to '*').
+            ua_token = agent.split("/")[0].lower()
+            pick = "*"
+            for gname in groups:
+                if gname != "*" and gname in ua_token:
+                    pick = gname
+                    break
             rules = [
                 {"allow": r["allow"], "path": r["path"], "order": i}
                 for i, r in enumerate(groups.get(pick, []))

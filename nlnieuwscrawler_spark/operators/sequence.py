@@ -35,11 +35,15 @@ def global_sequence(
     base: int = 0,
     num_partitions: int | None = None,
     cache_registry: list | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Add ``seq_col`` = global 1-based rank by ``order_cols`` (+ base).
 
     ``order_cols`` must be a TOTAL order (unique key tuples) — same
     requirement the deterministic-trace contract already imposes.
+    ``reliable=True`` materializes the numbered result through the
+    SparkContext checkpoint dir instead of ``localCheckpoint`` — the
+    executor-loss-safe mode for long cluster runs (operators/checkpoint).
     """
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism * 2
@@ -75,8 +79,10 @@ def global_sequence(
             pos += n
             yield pdf
 
-    out = ranged.mapInPandas(enumerate_partition, out_schema).localCheckpoint(
-        eager=True
+    from nlnieuwscrawler_spark.operators.checkpoint import cut_lineage
+
+    out = cut_lineage(
+        ranged.mapInPandas(enumerate_partition, out_schema), reliable
     )
     ranged.unpersist()
     if cache_registry is not None:

@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401 (used in metrics_cube)
 
+from nlnieuwscrawler_spark import spec
 from nlnieuwscrawler_spark.operators import asof, seen as seen_op
 from nlnieuwscrawler_spark.plans import epoch as epoch_plan
 from nlnieuwscrawler_spark.sources.tableio import SnapshotStore
@@ -61,7 +62,7 @@ class Crawler:
         self.robots = robots
         # Pre-reduce the corpus to one row per url ONCE (the as-of index),
         # hash-partitioned to the session's shuffle-partition count and
-        # sorted by the join keys: the cached node then SATISFIES the
+        # sorted by the join key: the cached node then SATISFIES the
         # per-epoch fetch join's distribution+ordering requirement, so the
         # wide html payload is shuffled and sorted ZERO times per epoch —
         # only the narrow frontier side moves.
@@ -112,6 +113,19 @@ class Crawler:
         m = self.store.read_manifest()
         if m is None:
             raise RuntimeError("nothing to resume from")
+        # seen_keys/frontier/lineage are keyed by url_fp: resuming under a
+        # different fingerprint function would recompute non-matching fps
+        # and silently re-admit already-crawled URLs. Refuse loudly instead.
+        # (Manifests written before the stamp existed carry no field and
+        # are accepted as-is — the stamp has never changed since.)
+        stamp = m.get("fingerprint_spec")
+        if stamp is not None and stamp != spec.FINGERPRINT_SPEC:
+            raise RuntimeError(
+                "snapshot was written under fingerprint spec "
+                f"{stamp!r} but this engine computes {spec.FINGERPRINT_SPEC!r};"
+                " resume would silently re-admit crawled URLs —"
+                " re-fingerprint the store or run the matching engine version"
+            )
         self.epoch = int(m["extra"]["next_epoch"])
         self.seq_base = int(m["extra"]["seq_base"])
         self.frontier = self.store.read_table(self.spark, "frontier")

@@ -202,13 +202,21 @@ FROM events
 
 
 def q_semi_anti_join(spark, sf_dir):
-    """Left-semi + left-anti (the O5/O15 seen-filter shapes) as counts."""
+    """Left-semi + left-anti (the O5/O15 seen-filter shapes) as counts.
+
+    Single plan, single job: one left join against the distinct key set
+    with conditional aggregation — r3 ran two separate count jobs (each a
+    full join) to build the same 1-row result."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    with_orders = c.join(o, "c_custkey", "left_semi").count()
-    without = c.join(o, "c_custkey", "left_anti").count()
-    return spark.createDataFrame(
-        [(with_orders, without)], "with_orders long, without_orders long"
+    ok = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return c.join(ok, "c_custkey", "left").agg(
+        F.count(F.when(F.col("__hit").isNotNull(), 1)).alias("with_orders"),
+        F.count(F.when(F.col("__hit").isNull(), 1)).alias("without_orders"),
     )
 
 
@@ -222,15 +230,31 @@ SELECT
 
 
 def q_set_ops(spark, sf_dir):
-    """intersect / except (URL-seen-set equivalence machinery)."""
-    cn = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
-    sn = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
-    both = cn.intersect(sn).count()
-    cust_only = cn.exceptAll(sn).count()
-    supp_only = sn.exceptAll(cn).count()
-    return spark.createDataFrame(
-        [(both, cust_only, supp_only)],
-        "both long, cust_only long, supp_only long",
+    """intersect / except (URL-seen-set equivalence machinery).
+
+    Single plan, single job: on DISTINCT inputs, INTERSECT/EXCEPT counts
+    are exactly the membership cells of one full-outer join — r3 ran three
+    separate count jobs (three joins) for the same 1-row result."""
+    cn = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nk")).distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nk")).distinct()
+        .withColumn("__s", F.lit(1))
+    )
+    return cn.join(sn, "nk", "full_outer").agg(
+        F.count(
+            F.when(F.col("__c").isNotNull() & F.col("__s").isNotNull(), 1)
+        ).alias("both"),
+        F.count(
+            F.when(F.col("__c").isNotNull() & F.col("__s").isNull(), 1)
+        ).alias("cust_only"),
+        F.count(
+            F.when(F.col("__c").isNull() & F.col("__s").isNotNull(), 1)
+        ).alias("supp_only"),
     )
 
 
@@ -1145,10 +1169,15 @@ def q_winnow_fingerprints(spark, sf_dir):
     from nlnieuwscrawler_spark.functions.text import winnow_fingerprints_udf
 
     d = load(spark, sf_dir, "documents")
-    return d.select(
+    # bind the UDF ONCE: Catalyst usually dedups identical Python UDF calls
+    # within a projection, but that's an optimizer courtesy, not a contract —
+    # two textual invocations risk running the rolling hash twice per row
+    return d.withColumn(
+        "__fps", winnow_fingerprints_udf(F.col("text"))
+    ).select(
         "doc_id",
-        F.size(winnow_fingerprints_udf(F.col("text"))).alias("n_fingerprints"),
-        F.array_min(winnow_fingerprints_udf(F.col("text"))).alias("min_fp"),
+        F.size("__fps").alias("n_fingerprints"),
+        F.array_min("__fps").alias("min_fp"),
     )
 
 

@@ -30,6 +30,8 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nlnieuwscrawler_spark import spec as _fpspec
+
 
 class SnapshotStore:
     def __init__(self, root: str):
@@ -113,6 +115,10 @@ class SnapshotStore:
             "version": version,
             "epoch": epoch,
             "committed_at": time.time(),
+            # url_fp-keyed state (seen_keys, frontier, lineage buckets) is
+            # only meaningful under the fingerprint function that wrote it;
+            # resume() compares this stamp and refuses a mismatched snapshot
+            "fingerprint_spec": _fpspec.FINGERPRINT_SPEC,
             # carry forward unreferenced tables' (immutable) data files
             "tables": dict(prev["tables"]) if prev else {},
             "extra": extra or {},
@@ -303,6 +309,11 @@ class SnapshotStore:
             "version": version,
             "epoch": epoch,
             "committed_at": time.time(),
+            # metadata-only commit: data files are the previous version's,
+            # so the fingerprint stamp carries forward unchanged
+            "fingerprint_spec": prev.get(
+                "fingerprint_spec", _fpspec.FINGERPRINT_SPEC
+            ),
             "tables": {**prev["tables"], name: meta},
             "extra": dict(prev.get("extra") or {}),
         }

@@ -30,8 +30,21 @@ DEFAULT_PORTS = {"http": "80", "https": "443"}
 # --- Fingerprinting --------------------------------------------------------
 # 64-bit URL fingerprint built from two Spark Murmur3-x86-32 hashes
 # (F.hash seed=42 over the canonical URL string, and over the string with
-# FP_SALT appended), per north_star "MurmurHash3-fingerprints".
+# FP_SALT as a PREFIX), per north_star "MurmurHash3-fingerprints".
+# The salt MUST stay a prefix: Murmur3's finalizer is a bijection of
+# (state XOR len), so appending a common SUFFIX to two same-length colliding
+# strings collides the second half with probability 1 — a suffix-salted
+# fingerprint degrades to effectively 32 bits for same-length URLs
+# (9 measured 64-bit collisions per 10^6 URLs). See
+# functions/urls.py:url_fingerprint for the full collision analysis.
 FP_SALT = "\x00fp2"
+# Version stamp of the whole fingerprint function (algorithm, seed, salt
+# value AND position). Every SnapshotStore manifest records it at commit
+# time and Crawl.resume() refuses a snapshot written under a different
+# stamp: seen_keys / frontier / lineage buckets are keyed by url_fp, so
+# resuming across a fingerprint change would silently re-admit
+# already-crawled URLs. Bump this string on ANY change to url_fingerprint.
+FINGERPRINT_SPEC = "murmur3x32x2/seed42/prefix-salt:" + FP_SALT.encode().hex()
 
 # --- Politeness / scheduling ----------------------------------------------
 EPOCH_SECONDS = 30.0        # discrete epoch length (reference sleep-loop proxy)

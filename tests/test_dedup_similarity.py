@@ -244,3 +244,18 @@ def test_split_bucket_partition_invariant(spark, docs):
     a = docs.repartition(1).select("doc_id", split_bucket(F.col("doc_id")).alias("s"))
     b = docs.repartition(13).select("doc_id", split_bucket(F.col("doc_id")).alias("s"))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_dedup_components_reliable_checkpoint_identical(spark):
+    """reliable=True routes every lineage cut through the SparkContext
+    checkpoint dir (executor-loss-safe mode for real clusters) and must
+    produce exactly the same components as the localCheckpoint default."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2, 3, 4, 10, 20], "doc_b": [2, 3, 4, 5, 11, 21]})
+    )
+    local = {(r["doc_id"], r["component"])
+             for r in dedup.dedup_components(pairs).collect()}
+    rel = {(r["doc_id"], r["component"])
+           for r in dedup.dedup_components(pairs, reliable=True).collect()}
+    assert rel == local
+    assert spark.sparkContext.getCheckpointDir() is not None

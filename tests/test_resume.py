@@ -116,3 +116,30 @@ def test_cuckoo_retraction_mid_crawl(spark, tiny_pages_df):
     if c.frontier.take(1):
         c.step()
         assert c.epoch == 3
+
+
+def test_resume_refuses_fingerprint_spec_mismatch(
+    spark, tiny_pages_df, tmp_path_factory
+):
+    """A snapshot stamped with a different fingerprint spec must NOT resume:
+    url_fp-keyed state under an old fingerprint silently re-admits crawled
+    URLs. The manifest stamp turns that into a loud error."""
+    import json
+    import os
+
+    store = SnapshotStore(str(tmp_path_factory.mktemp("snap_fpspec")))
+    c1 = Crawler(spark, tiny_pages_df, fixtures.robots_df(spark), store, _cfg())
+    c1.start(fixtures.seeds_df(spark))
+    c1.step()
+    # simulate a store written by an engine with a different fingerprint
+    v = store.current_version()
+    mpath = os.path.join(store.root, "_manifests", f"manifest-{v}.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    assert m["fingerprint_spec"]  # commit stamped it
+    m["fingerprint_spec"] = "murmur3x32x2/seed42/SUFFIX-salt:deadbeef"
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    c2 = Crawler(spark, tiny_pages_df, fixtures.robots_df(spark), store, _cfg())
+    with pytest.raises(RuntimeError, match="fingerprint spec"):
+        c2.resume()

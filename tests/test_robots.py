@@ -145,3 +145,38 @@ def test_parse_robots_txt_agent_groups(spark):
     goog = robots_from_responses(df, agent="GoogleBot").collect()[0]
     assert [(r["allow"], r["path"]) for r in goog["rules"]] == [(False, "/private")]
     assert goog["crawl_delay"] == 2.5
+
+
+def test_parse_robots_txt_versioned_ua_substring_match(spark):
+    """urllib.robotparser matches groups by SUBSTRING against the UA's
+    product token ('nlbot/1.0' -> 'nlbot'), not by exact string equality.
+    A versioned UA must therefore pick its named group, not fall back to
+    the (more permissive) '*' group; parity asserted against the stdlib."""
+    import urllib.robotparser
+
+    from nlnieuwscrawler_spark.operators.robots import robots_from_responses
+
+    text = (
+        "User-agent: nlbot\n"
+        "Disallow: /archief\n"
+        "Crawl-delay: 4\n"
+        "\n"
+        "User-agent: *\n"
+        "Allow: /\n"
+    )
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(text.splitlines())
+    assert rp.can_fetch("nlbot/1.0", "https://ex.nl/archief/a") is False
+
+    df = spark.createDataFrame(
+        pd.DataFrame([{"host": "ex.nl", "content": text}]),
+        "host string, content string",
+    )
+    row = robots_from_responses(df, agent="nlbot/1.0").collect()[0]
+    assert [(r["allow"], r["path"]) for r in row["rules"]] == [
+        (False, "/archief")
+    ]
+    assert row["crawl_delay"] == 4.0
+    # an unrelated UA still falls back to '*'
+    other = robots_from_responses(df, agent="otherbot/2.0").collect()[0]
+    assert [(r["allow"], r["path"]) for r in other["rules"]] == [(True, "/")]
