@@ -39,6 +39,35 @@ def latest_snapshot(
     )
 
 
+def latest_snapshot_clustered(
+    df: DataFrame, key: str, ts_col: str, fp_col, n_partitions: int
+) -> DataFrame:
+    """One row per key, output hash-CLUSTERED and sorted by ``fp_col`` —
+    the fetch-index variant of :func:`latest_snapshot`.
+
+    ONE corpus shuffle instead of two: ``latest_snapshot`` + an fp
+    repartition moves the fat payload twice (measured at 200k pages:
+    469 MiB through the semi-join's (key, ts) exchange + 515 MiB through
+    the fp repartition — together more than every per-epoch shuffle of a
+    whole crawl combined). Here the corpus repartitions by the 8-byte
+    fingerprint ONCE; the per-key latest pick is a ``row_number`` window
+    over (fp, key) — ``HashPartitioning(fp)`` satisfies the window's
+    ``ClusteredDistribution(fp, key)`` (partitioning exprs ⊆ clustering
+    exprs), so no second exchange, and the window's (fp, key, ts) sort
+    leaves the output ordered by fp for downstream sort-merge reuse.
+
+    Same precondition as latest_snapshot: (key, ts_col) pairs unique.
+    ``fp_col`` may be a Column expression (computed fingerprint).
+    """
+    part = df.withColumn("__fp", fp_col).repartition(n_partitions, "__fp")
+    w = Window.partitionBy("__fp", key).orderBy(F.col(ts_col).desc())
+    return (
+        part.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -194,6 +194,52 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------------------
+# eval-set decontamination
+# --------------------------------------------------------------------------
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 8,
+) -> DataFrame:
+    """Flag corpus docs sharing ≥ ``min_overlap`` distinct word n-grams
+    with ANY single eval/benchmark doc → (doc_id, eval_id, n_shared).
+
+    The curation step a training pipeline runs before every release: any
+    document that substantially overlaps an evaluation item leaks the
+    benchmark into the training set. Same shingling spec as
+    :func:`ngram_jaccard_pairs` (distinct word n-grams over
+    whitespace-split lowercase text).
+
+    100 TB shape: the corpus side is exploded to (doc, gram) rows and
+    hash-joined against the BROADCAST eval gram table — eval suites are
+    small (10^3-10^5 items) while the corpus is not, so the corpus is
+    never self-joined, never collected, and only rows whose gram actually
+    occurs in some eval doc survive into the (doc, eval) count shuffle
+    (bounded by true matches, not corpus size). Both gram sets are
+    per-doc distinct, so ``count(*)`` per (doc, eval) pair IS the number
+    of distinct shared grams.
+    """
+    corpus_grams = _spread(docs.select(id_col, text_col)).select(
+        id_col, F.explode(word_ngrams(F.col(text_col), n)).alias("__g")
+    )
+    eval_grams = eval_docs.select(
+        eval_id_col, F.explode(word_ngrams(F.col(eval_text_col), n)).alias("__g")
+    )
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), "__g")
+        .groupBy(id_col, eval_id_col)
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+
+
+# --------------------------------------------------------------------------
 # near-dup clustering: connected components over the pair graph
 # --------------------------------------------------------------------------
 

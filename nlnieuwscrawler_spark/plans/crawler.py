@@ -67,22 +67,46 @@ class Crawler:
         # wide html payload is shuffled and sorted ZERO times per epoch —
         # only the narrow frontier side moves.
         #
-        # Partition on BOTH join keys (url_fp, url), not fp alone:
-        # spark.sql.requireAllClusterKeysForCoPartition defaults TRUE, so a
-        # subset partitioning does NOT get reused for the (url_fp, url)
-        # equi-join — the planner re-exchanged the whole cached index
-        # (html included) every epoch. Verified in the executed plan: the
-        # fp-only form showed `Exchange hashpartitioning(url_fp, url)` over
-        # the InMemoryTableScan (321 MB re-shuffled at 500k pages); the
-        # two-key form shows none.
+        # Round 4: the fetch join is on url_fp ALONE. The r3 two-key
+        # (url_fp, url) form satisfied requireAllClusterKeysForCoPartition
+        # by forcing the url STRING through every frontier-side rank+join
+        # shuffle; fp-only partitioning (+ fp-only join in run_epoch) lets
+        # every per-epoch shuffle move 8-byte keys instead. An fp-only
+        # join demands an FP-UNIQUE index for the crawl-log row-count
+        # invariant (exactly one joined row per scheduled URL), so a
+        # deterministic min-url winner is kept per colliding fp. The
+        # collision set is computed NARROW (url column only, once per
+        # crawl, inside the cached lineage) and broadcast — it is empty
+        # unless a true 64-bit collision exists (~3e-3 expected collisions
+        # at the 10^10 north scale; a loser URL logs as status=miss via
+        # run_epoch's post-join url-equality guard instead of fetching a
+        # wrong page).
         from nlnieuwscrawler_spark.functions import urls as U
 
         n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # single-corpus-shuffle build: repartition by fp once, window-pick
+        # the latest capture per (fp, url) in place (operators/asof.py:
+        # latest_snapshot_clustered) — the collision subtree re-derives the
+        # same lineage but column pruning keeps it to (url, warc_ts), so
+        # the fat html crosses exactly ONE exchange for the whole crawl
+        base = asof.latest_snapshot_clustered(
+            pages, "url", "warc_ts",
+            U.url_fingerprint(F.col("url")), n_shuffle,
+        ).withColumnRenamed("__fp", "url_fp")
+        colliding = (
+            base.groupBy("url_fp")
+            .agg(F.count("*").alias("__n"), F.min("url").alias("__win_url"))
+            .filter(F.col("__n") > 1)
+            .select("url_fp", "__win_url")
+        )
         self.pages_latest = (
-            asof.latest_snapshot(pages, "url", "warc_ts")
-            .withColumn("url_fp", U.url_fingerprint(F.col("url")))
-            .repartition(n_shuffle, "url_fp", "url")
-            .sortWithinPartitions("url_fp", "url")
+            base.join(F.broadcast(colliding), "url_fp", "left")
+            .filter(
+                F.col("__win_url").isNull()
+                | (F.col("url") == F.col("__win_url"))
+            )
+            .drop("__win_url")
+            .sortWithinPartitions("url_fp")
             .persist()
         )
         self.store = store

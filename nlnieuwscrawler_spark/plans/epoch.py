@@ -144,35 +144,55 @@ def run_epoch(
         allowed.select("url_fp"), "url_fp", "left_anti"
     )
 
-    # O8/O9/O10 politeness + salted priority rank
+    # O8/O9/O10 politeness + salted priority rank — on the NARROW
+    # projection only: the (host, salt) rank shuffles move ~40 B/row
+    # (fp + host + small ints) instead of carrying the url string. The
+    # url re-attaches below via ONE fp-keyed join against the frontier,
+    # so per epoch the widest frontier column crosses exactly one shuffle
+    # (r3: two — the salted rank repartition AND the fetch join).
+    rank_in = allowed.select(
+        "url_fp", "host", "depth", "priority", "discovered_epoch",
+        "crawl_delay",
+    )
     sched = politeness.epoch_schedule(
-        allowed, epoch, salt=salt, epoch_seconds=epoch_seconds
+        rank_in, epoch, salt=salt, epoch_seconds=epoch_seconds
     )
     deferred = allowed.select(FRONTIER_COLS).join(
         sched.select("url_fp"), "url_fp", "left_anti"
     ).select(FRONTIER_COLS)
 
-    # O11 fetch simulation: equi-join the latest-snapshot index on
-    # (url_fp, url) — fp first so the cached index's hashpartitioning on
-    # the 8-byte fingerprint (Crawler pre-partitions + pre-sorts it) meets
-    # the join's distribution requirement: html never re-shuffles or
-    # re-sorts per epoch, only the narrow frontier side does. The url
-    # equality keeps semantics exact under (astronomically unlikely) fp
-    # collisions. Uncurated callers (streaming parity) may pass a plain
+    # O11 fetch simulation: equi-join the latest-snapshot index on url_fp
+    # ALONE — the cached index's hashpartitioning on the 8-byte
+    # fingerprint (Crawler pre-partitions + pre-sorts it, fp-unique by
+    # construction) meets the join's distribution requirement exactly
+    # (requireAllClusterKeysForCoPartition: keys == partition keys), so
+    # html never re-shuffles or re-sorts per epoch and only narrow
+    # fp-keyed rows move. Exactness under (astronomically unlikely) fp
+    # collisions: the index is fp-unique, so each scheduled URL joins at
+    # most one candidate page; the url-equality guard downgrades a
+    # cross-set collision to status=miss instead of extracting a wrong
+    # page. Uncurated callers (streaming parity) may pass a plain
     # url-keyed index — derive the fp column for them.
     if "url_fp" not in pages_latest.columns:
         pages_latest = pages_latest.withColumn(
             "url_fp", U.url_fingerprint(F.col("url"))
         )
-    fetched = sched.join(
+    with_url = sched.join(allowed.select("url_fp", "url"), "url_fp", "inner")
+    joined = with_url.join(
         pages_latest.select(
             "url_fp",
-            "url",
+            F.col("url").alias("__idx_url"),
             F.col("html"),
             F.col("lang").alias("corpus_lang"),
         ),
-        on=["url_fp", "url"],
+        on="url_fp",
         how="left",
+    )
+    hit = F.col("__idx_url").isNotNull() & (F.col("__idx_url") == F.col("url"))
+    fetched = (
+        joined.withColumn("html", F.when(hit, F.col("html")))
+        .withColumn("corpus_lang", F.when(hit, F.col("corpus_lang")))
+        .drop("__idx_url")
     )
 
     # O12 extract (Arrow UDF) + O14 lang gate. No repartition before the

@@ -136,9 +136,11 @@ def test_fetch_index_not_reexchanged(spark, tiny_pages_df):
     """Regression for the round-3 find: with
     requireAllClusterKeysForCoPartition=true (Spark >= 3.3 default), an
     index cached on a SUBSET of the fetch-join keys is silently
-    re-exchanged (the whole html payload, every epoch). The index is
-    partitioned on BOTH (url_fp, url); the executed fetch-join plan must
-    show NO Exchange feeding the index-side InMemoryTableScan."""
+    re-exchanged (the whole html payload, every epoch). Round 4 joins on
+    url_fp ALONE against an fp-partitioned fp-unique index (so the narrow
+    frontier side stops carrying the url string through rank shuffles);
+    the invariant under test is unchanged: the executed fetch-join plan
+    must show NO Exchange feeding the index-side InMemoryTableScan."""
     from nlnieuwscrawler_spark.plans.crawler import Crawler, CrawlConfig
     from nlnieuwscrawler_spark.sources import fixtures
 

@@ -1,0 +1,120 @@
+"""Corpus-curation operators: decontamination, stratified sampling,
+sequence packing (operators/sampling.py, operators/dedup.decontaminate)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nlnieuwscrawler_spark.operators.dedup import decontaminate
+from nlnieuwscrawler_spark.operators.sampling import (
+    pack_sequences,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+# -- decontamination --------------------------------------------------------
+
+def test_decontaminate_flags_eval_members_and_planted_overlap(spark):
+    """An eval member shares ALL its grams with itself (max contamination);
+    a doc embedding an eval doc's text is flagged; disjoint docs are not."""
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog again today",
+                    "prefix words here the quick brown fox jumps over the lazy "
+                    "dog again today suffix tail",
+                    "completely different content with no overlapping phrases "
+                    "at all whatsoever in any way",
+                ],
+            }
+        )
+    )
+    ev = corpus.filter("doc_id = 1").select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    got = {
+        (r["doc_id"], r["eval_id"]): r["n_shared"]
+        for r in decontaminate(corpus, ev, min_overlap=5).collect()
+    }
+    assert (1, 1) in got  # self: all grams shared
+    assert (2, 1) in got  # embeds the eval text verbatim
+    assert got[(2, 1)] >= 5
+    assert (3, 1) not in got
+
+
+def test_decontaminate_plan_is_broadcast_join(spark, docs):
+    """Scale shape: the eval gram side must broadcast — no shuffle of the
+    corpus gram table for the join, no BNLJ/cartesian anywhere."""
+    ev = docs.limit(3).select(F.col("doc_id").alias("eval_id"), "text")
+    out = decontaminate(docs, ev, min_overlap=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# -- stratified sampling ----------------------------------------------------
+
+def test_stratified_sample_quota_and_determinism(spark, docs):
+    out = stratified_sample(docs, "source", quota=5, salt=4)
+    pdf = out.select("doc_id", "source", "sample_rank").toPandas()
+    per = pdf.groupby("source").size()
+    assert (per <= 5).all()
+    # ranks are 1..k dense per stratum
+    for _, g in pdf.groupby("source"):
+        assert sorted(g["sample_rank"]) == list(range(1, len(g) + 1))
+    # salt is pure optimization: identical output at salt=1
+    base = (
+        stratified_sample(docs, "source", quota=5, salt=1)
+        .select("doc_id", "source", "sample_rank")
+        .toPandas()
+    )
+    key = lambda d: set(map(tuple, d.values.tolist()))
+    assert key(pdf) == key(base)
+    # repartition-invariant (pure function of ids)
+    re = (
+        stratified_sample(docs.repartition(13), "source", quota=5, salt=4)
+        .select("doc_id", "source", "sample_rank")
+        .toPandas()
+    )
+    assert key(re) == key(pdf)
+
+
+# -- sequence packing -------------------------------------------------------
+
+def test_pack_sequences_invariants(spark, docs):
+    from nlnieuwscrawler_spark.functions.text import token_count_ws
+
+    d = docs.withColumn("n_tokens", token_count_ws(F.col("text")))
+    out = pack_sequences(d, capacity=64, n_buckets=8).toPandas()
+    # every doc exactly once
+    assert len(out) == d.count()
+    assert out["doc_id"].is_unique
+    # no bin over capacity, except bins holding a single over-long doc
+    fills = out.groupby("bin_id").agg(tok=("n_tokens", "sum"), n=("doc_id", "size"))
+    over = fills[fills["tok"] > 64]
+    assert (over["n"] == 1).all(), over
+    # bin_seq is 1..k within each bin
+    for _, g in out.groupby("bin_id"):
+        assert sorted(g["bin_seq"]) == list(range(1, len(g) + 1))
+    # bins stay within their bucket's id range
+    assert ((out["bin_id"] // (1 << 32)) == out["bucket"]).all()
+
+
+def test_pack_sequences_deterministic_across_partitioning(spark, docs):
+    from nlnieuwscrawler_spark.functions.text import token_count_ws
+
+    d = docs.withColumn("n_tokens", token_count_ws(F.col("text")))
+    a = pack_sequences(d, capacity=128, n_buckets=4).toPandas()
+    b = pack_sequences(d.repartition(17), capacity=128, n_buckets=4).toPandas()
+    key = lambda x: x.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(a), key(b))

@@ -146,3 +146,34 @@ def test_decode_features_arrow_equals_pandas(spark):
     a = decode_features(m, backend="fake")
     b = decode_features_arrow(m)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_latest_snapshot_clustered_equivalent_and_single_exchange(
+    spark, tiny_pages_df
+):
+    """The single-shuffle fetch-index build picks exactly the same
+    (url, warc_ts) rows as latest_snapshot, and its plan contains ONE
+    shuffle exchange over the fat corpus (the fp repartition) — the
+    two-pass form moved html through two."""
+    from pyspark.sql import functions as F
+
+    from nlnieuwscrawler_spark.functions import urls as U
+
+    want = {
+        (r["url"], r["warc_ts"])
+        for r in asof.latest_snapshot(tiny_pages_df, "url", "warc_ts")
+        .select("url", "warc_ts").collect()
+    }
+    clustered = asof.latest_snapshot_clustered(
+        tiny_pages_df, "url", "warc_ts",
+        U.url_fingerprint(F.col("url")), 8,
+    )
+    got = {
+        (r["url"], r["warc_ts"])
+        for r in clustered.select("url", "warc_ts").collect()
+    }
+    assert got == want
+    plan = clustered._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1, plan
