@@ -92,6 +92,110 @@ def quality_score(text: Column) -> Column:
 
 
 # --------------------------------------------------------------------------
+# repetition statistics + Gopher-style quality rules (all native exprs)
+# --------------------------------------------------------------------------
+
+def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc token-repetition profile → (id, n_tokens, n_distinct,
+    distinct_ratio, top_token_ratio, dup_2gram_ratio).
+
+    The Gopher/RefinedWeb-family repetition filters: heavily templated or
+    looping documents (nav boilerplate, keyword stuffing, decode loops)
+    show a low distinct-token ratio, one dominant token, or massive
+    duplicate-bigram mass. 100 TB shape: explode → two hash aggregations
+    (token counts, then per-doc maxima) — map-side combined, one shuffle
+    keyed by (doc, token), one by doc; no UDF, no window. The bigram
+    ratio is a pure per-row projection (no extra shuffle).
+    """
+    toks = tokens_col_text(F.col(text_col))
+    per_tok = (
+        df.select(id_col, F.explode(toks).alias("__tok"))
+        .groupBy(id_col, "__tok")
+        .agg(F.count("*").alias("__n"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("__n").alias("__top"),
+        )
+    )
+    n2 = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams2 = F.transform(
+        F.sequence(F.lit(1), n2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    bigram = df.select(
+        id_col,
+        F.when(
+            n2 > 0,
+            F.round(
+                1 - F.size(F.array_distinct(grams2)).cast("double") / n2, 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_ratio"),
+    )
+    return per_tok.join(bigram, id_col).select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6).alias(
+            "distinct_ratio"
+        ),
+        F.round(F.col("__top").cast("double") / F.col("n_tokens"), 6).alias(
+            "top_token_ratio"
+        ),
+        "dup_2gram_ratio",
+    )
+
+
+#: minimal Dutch/English stopword probe for the Gopher "contains common
+#: words" rule — presence of ANY 2 indicates natural language, not a list
+GOPHER_STOPWORDS = ["the", "a", "de", "het", "een", "en", "and", "of"]
+
+
+def gopher_quality(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style hard quality rules → per-doc booleans + pass flag.
+
+    Rules (the classic web-text gates, thresholds pinned here):
+    word count in [10, 100000]; mean word length in [2, 12]; ≥ 2 distinct
+    stopwords present; duplicate-token mass ≤ 0.9 (1 - distinct ratio).
+    Pure per-row native expressions except the repetition join — callers
+    who only need the cheap rules can project them without it.
+    """
+    toks = tokens_col_text(F.col(text_col))
+    n = F.size(toks)
+    chars = F.length(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", ""))
+    mean_wl = F.when(n > 0, F.round(chars.cast("double") / n, 4)).otherwise(
+        F.lit(0.0)
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    distinct_ratio = F.when(
+        n > 0, F.size(F.array_distinct(toks)).cast("double") / n
+    ).otherwise(F.lit(1.0))
+    word_count_ok = (n >= 10) & (n <= 100_000)
+    mean_wl_ok = (mean_wl >= 2.0) & (mean_wl <= 12.0)
+    stop_ok = stop_hits >= 2
+    rep_ok = distinct_ratio >= 0.1
+    return df.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        stop_hits.cast("long").alias("stop_hits"),
+        word_count_ok.alias("word_count_ok"),
+        mean_wl_ok.alias("mean_word_len_ok"),
+        stop_ok.alias("stopword_ok"),
+        rep_ok.alias("repetition_ok"),
+        (word_count_ok & mean_wl_ok & stop_ok & rep_ok).alias("passes"),
+    )
+
+
+# --------------------------------------------------------------------------
 # winnowing fingerprints (rolling hash + min-sampling) — numpy pandas UDF
 # --------------------------------------------------------------------------
 

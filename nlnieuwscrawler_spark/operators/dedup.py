@@ -193,6 +193,32 @@ def ngram_jaccard_pairs(
     return out
 
 
+def dedup_incremental(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Drop incoming docs whose exact content was already ingested.
+
+    The cross-batch/shift-ingestion form of exact dedup: a pipeline that
+    ingests shard N must dedup against shards 1..N-1 without re-reading
+    them — ``seen_hashes`` is the persisted (e.g. SnapshotStore-committed)
+    hash table of everything already kept. One md5 projection + one
+    anti-join keyed on the 16-byte hash; at 10^10 docs the hash table is
+    ~300 GB — a plain shuffled anti-join (never broadcast), or front it
+    with the partitioned Bloom seen-filter (operators/seen.py) exactly as
+    the crawl frontier does for URLs. Within-batch duplicates are NOT
+    collapsed here (that's :func:`dedup_exact`'s job) — the two compose:
+    dedup_exact first, then incremental against history.
+    """
+    hashed = new_docs.withColumn(hash_col, F.md5(F.col(text_col)))
+    return hashed.join(
+        seen_hashes.select(hash_col), hash_col, "left_anti"
+    )
+
+
 # --------------------------------------------------------------------------
 # eval-set decontamination
 # --------------------------------------------------------------------------

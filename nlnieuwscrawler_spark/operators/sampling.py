@@ -145,3 +145,46 @@ def pack_sequences(
         return pdf[["doc_id", "n_tokens", "bucket", "bin_id", "bin_seq"]]
 
     return src.groupBy("bucket").applyInPandas(pack, out_schema)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Split each doc into overlapping token windows → one row per chunk
+    (doc_id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    The sequence-prep step between curation and tokenization: long docs
+    become training-sized windows (``window`` tokens, ``stride`` hop —
+    stride < window keeps cross-boundary context). All higher-order
+    native expressions: tokenize → sequence of start offsets → slice per
+    start → posexplode. No UDF, no shuffle at all — a pure per-row
+    flatMap the optimizer pipelines into the scan, so at 100 TB it
+    streams: input splits in, chunk rows out, zero exchanges.
+
+    Trailing chunks may be shorter than ``window`` (never empty); docs
+    with no tokens produce no rows.
+    """
+    from nlnieuwscrawler_spark.functions.text import tokens_col_text
+
+    toks = tokens_col_text(F.col(text_col))
+    starts = F.when(
+        F.size(toks) > 0,
+        F.sequence(F.lit(1), F.size(toks), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, window))
+    return (
+        df.select(
+            id_col,
+            F.posexplode(chunks).alias("chunk_idx", "__chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("__chunk").cast("long").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "__chunk").alias("chunk_text"),
+        )
+    )

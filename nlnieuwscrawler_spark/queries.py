@@ -2015,6 +2015,145 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(d, capacity=512, n_buckets=16).orderBy("doc_id")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Token-repetition profile per doc (Gopher/RefinedWeb repetition
+    filters): distinct-token ratio, dominant-token ratio, duplicate-bigram
+    mass — explode + two map-side-combined hash aggs, no UDF."""
+    from nlnieuwscrawler_spark.functions.text import repetition_stats
+
+    d = load(spark, sf_dir, "documents")
+    return repetition_stats(d).orderBy("doc_id")
+
+
+ORACLE_REPETITION = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\\s+')) AS tok
+  FROM documents WHERE len(trim(text)) > 0
+),
+c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY doc_id, tok),
+s AS (
+  SELECT doc_id, sum(n) AS n_tokens, count(*) AS n_distinct, max(n) AS top
+  FROM c GROUP BY doc_id
+),
+b AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) - 1 > 0 THEN
+      round(1 - len(list_distinct(list_transform(
+        range(1, greatest(len(toks)-1,0)+1),
+        i -> toks[i] || ' ' || toks[i+1])))::DOUBLE / (len(toks)-1), 6)
+    ELSE 0.0 END AS dup_2gram_ratio
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)),'\\s+') AS toks
+        FROM documents)
+)
+SELECT s.doc_id AS doc_id, s.n_tokens::BIGINT AS n_tokens,
+       s.n_distinct::BIGINT AS n_distinct,
+       round(s.n_distinct::DOUBLE / s.n_tokens, 6) AS distinct_ratio,
+       round(s.top::DOUBLE / s.n_tokens, 6) AS top_token_ratio,
+       b.dup_2gram_ratio AS dup_2gram_ratio
+FROM s JOIN b ON s.doc_id = b.doc_id
+ORDER BY doc_id
+"""
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style hard quality gates (word count, mean word length,
+    stopword presence, repetition) as per-doc booleans + pass flag —
+    all native per-row expressions."""
+    from nlnieuwscrawler_spark.functions.text import gopher_quality
+
+    d = load(spark, sf_dir, "documents")
+    return gopher_quality(d).orderBy("doc_id")
+
+
+ORACLE_GOPHER = """
+WITH f AS (
+  SELECT doc_id,
+    string_split_regex(trim(lower(text)),'\\s+') AS toks,
+    len(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) AS chars
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    len(toks) AS n,
+    CASE WHEN len(toks) > 0 THEN round(chars::DOUBLE / len(toks), 4)
+         ELSE 0.0 END AS mean_wl,
+    len(list_filter(list_distinct(toks),
+        x -> list_contains(['the','a','de','het','een','en','and','of'], x)))
+      AS stop_hits,
+    CASE WHEN len(toks) > 0
+         THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 1.0 END AS dr
+  FROM f
+)
+SELECT doc_id, n::BIGINT AS n_tokens, mean_wl AS mean_word_len,
+  stop_hits::BIGINT AS stop_hits,
+  (n >= 10 AND n <= 100000) AS word_count_ok,
+  (mean_wl >= 2.0 AND mean_wl <= 12.0) AS mean_word_len_ok,
+  (stop_hits >= 2) AS stopword_ok,
+  (dr >= 0.1) AS repetition_ok,
+  ((n >= 10 AND n <= 100000) AND (mean_wl >= 2.0 AND mean_wl <= 12.0)
+   AND (stop_hits >= 2) AND (dr >= 0.1)) AS passes
+FROM g ORDER BY doc_id
+"""
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Cross-batch exact dedup: the incoming shard (doc_id % 3 != 0) drops
+    any doc whose md5(text) was already ingested by the history shard
+    (doc_id % 3 == 0) — hash anti-join (operators/dedup.py)."""
+    from nlnieuwscrawler_spark.operators.dedup import dedup_incremental
+
+    d = load(spark, sf_dir, "documents")
+    seen = (
+        d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+        .select(F.md5(F.col("text")).alias("content_hash"))
+        .distinct()
+    )
+    incoming = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
+    return (
+        dedup_incremental(incoming, seen)
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL = """
+SELECT d.doc_id AS doc_id, md5(d.text) AS content_hash
+FROM documents d
+WHERE d.doc_id % 3 <> 0
+  AND NOT EXISTS (SELECT 1 FROM documents s
+                  WHERE s.doc_id % 3 = 0 AND md5(s.text) = md5(d.text))
+ORDER BY doc_id
+"""
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (window=32, stride=24) — the
+    sequence-prep flatMap; zero shuffles, pure higher-order exprs
+    (operators/sampling.py:chunk_documents)."""
+    from nlnieuwscrawler_spark.operators.sampling import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    return chunk_documents(d, window=32, stride=24).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)),'\\s+') AS toks
+  FROM documents WHERE len(trim(text)) > 0
+),
+s AS (
+  SELECT doc_id, toks, unnest(range(0, ((len(toks)-1)//24)+1)) AS ord
+  FROM d
+)
+SELECT doc_id, ord::BIGINT AS chunk_idx,
+  len(list_slice(toks, ord*24+1, ord*24+32))::BIGINT AS n_chunk_tokens,
+  array_to_string(list_slice(toks, ord*24+1, ord*24+32), ' ') AS chunk_text
+FROM s ORDER BY doc_id, chunk_idx
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2044,10 +2183,11 @@ def q_pack_sequences(spark, sf_dir):
 #   streaming: stream-stream .. stream_stream_join
 #   sessionization (batch) .... session_stats
 #   text analysis ............. lang_id, token_stats, quality_scores,
-#                               text_quality, lang_gate
+#                               text_quality, lang_gate, repetition_stats,
+#                               gopher_quality
 #   search/ranking ............ bm25_search
 #   fingerprinting ............ winnow_fingerprints
-#   dedup: exact .............. dedup_exact
+#   dedup: exact .............. dedup_exact, dedup_incremental
 #   dedup: n-gram Jaccard ..... ngram_jaccard_pairs
 #   dedup: MinHash+LSH ........ minhash_lsh_pairs
 #   dedup: SimHash ............ simhash_pairs
@@ -2056,7 +2196,7 @@ def q_pack_sequences(spark, sf_dir):
 #   similarity: cosine dup .... cosine_neardup
 #   curation: decontamination . decontaminate
 #   curation: sampling ........ stratified_sample, train_test_split
-#   curation: packing ......... pack_sequences
+#   curation: packing ......... pack_sequences, chunk_documents
 #   multimodal ................ media_features, media_resize, frame_sample
 #   crawl pipeline (O1-O20) ... crawl_epoch
 #
@@ -2127,13 +2267,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
-    # --- positions 51-55: oracle-backed but outside the driver's 50-entry
+    # --- positions 51+: oracle-backed but outside the driver's 50-entry
     # window this round (rotation policy above)
     "string_funcs": q_string_funcs,
     "union_all": q_union_all,
     "orders_per_year": q_orders_per_year,
     "array_stats": q_array_stats,
     "range_frame": q_range_frame,
+    "repetition_stats": q_repetition_stats,
+    "gopher_quality": q_gopher_quality,
+    "dedup_incremental": q_dedup_incremental,
+    "chunk_documents": q_chunk_documents,
     # --- NO_ORACLE (rows-only) entries LAST (see window policy above)
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -2211,4 +2355,8 @@ ORACLE: dict[str, str] = {
     "bm25_search": ORACLE_BM25,
     "decontaminate": ORACLE_DECONTAMINATE,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "repetition_stats": ORACLE_REPETITION,
+    "gopher_quality": ORACLE_GOPHER,
+    "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
+    "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
 }

@@ -179,3 +179,43 @@ def run_epoch_stream(
     for b in batches[1:]:
         out = out.unionByName(b)
     return out
+
+
+# --------------------------------------------------------------------------
+# streaming ingestion into the snapshot store (foreachBatch upsert)
+# --------------------------------------------------------------------------
+
+def stream_ingest_to_store(
+    stream_df: DataFrame,
+    store,
+    table: str,
+    key,
+    checkpoint_dir: str,
+):
+    """Continuously MERGE a stream into a SnapshotStore table — the
+    Iceberg-sink pattern (`writeStream.foreachBatch(merge)`) the north
+    rule's checkpointed crawl telemetry pipeline uses: each micro-batch
+    upserts by key into an atomic snapshot, so readers always see a
+    consistent table, every batch is time-travelable, and a crashed query
+    resumes from the stream checkpoint WITHOUT duplicating rows
+    (the merge is idempotent per key — exactly-once effective semantics
+    from at-least-once batch replay).
+
+    Runs with availableNow (drain-everything) and returns after the
+    stream finishes; pass an unbounded trigger for a live pipeline.
+    """
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            store.merge_into(
+                batch_df.sparkSession, table, batch_df, on=key,
+                epoch=int(batch_id),
+            )
+
+    q = (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

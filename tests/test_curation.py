@@ -1,0 +1,74 @@
+"""Repetition stats, Gopher quality gates, incremental dedup
+(functions/text.py, operators/dedup.py) on crafted edge cases the
+fixture corpus can't hit."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from nlnieuwscrawler_spark.functions.text import gopher_quality, repetition_stats
+from nlnieuwscrawler_spark.operators.dedup import dedup_exact, dedup_incremental
+
+
+def test_repetition_stats_degenerate_docs(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "spam spam spam spam",          # one token repeated
+                    "a b c d",                       # all distinct
+                    "x y x y x y",                   # repeated bigrams
+                ],
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_distinct"] == 1
+    assert out[1]["top_token_ratio"] == 1.0
+    assert out[1]["dup_2gram_ratio"] == round(1 - 1 / 3, 6)
+    assert out[2]["distinct_ratio"] == 1.0 and out[2]["dup_2gram_ratio"] == 0.0
+    # "x y x y x y": 5 bigrams, 2 distinct ("x y", "y x")
+    assert out[3]["dup_2gram_ratio"] == round(1 - 2 / 5, 6)
+
+
+def test_gopher_quality_rules(spark):
+    good = "the quick brown fox jumps over a lazy dog and then some more words"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    good,                                # passes all
+                    "short text",                        # word count < 10
+                    good.replace("the", "zzzzzzzzzzzzzzzzzzzzzz"),  # no 2nd stopword? still has 'a','and','of'? -> craft below
+                    "spam " * 50,                        # repetition + no stopwords
+                ],
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert out[1]["passes"] is True
+    assert out[2]["word_count_ok"] is False and out[2]["passes"] is False
+    assert out[4]["stopword_ok"] is False
+    assert out[4]["passes"] is False
+
+
+def test_dedup_incremental_composes_with_exact(spark):
+    """History shard hashes knock out exact re-ingests; within-batch dups
+    survive incremental (dedup_exact's job) — the documented composition."""
+    hist = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["aaa", "bbb"]})
+    )
+    incoming = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [10, 11, 12, 13], "text": ["aaa", "ccc", "ccc", "ddd"]}
+        )
+    )
+    seen = hist.select(F.md5("text").alias("content_hash")).distinct()
+    surv = dedup_incremental(incoming, seen)
+    ids = {r["doc_id"] for r in surv.collect()}
+    assert ids == {11, 12, 13}  # 10 dropped (content seen), dups 11/12 kept
+    reps = dedup_exact(surv)
+    assert {r["keep_id"] for r in reps.collect()} == {11, 13}

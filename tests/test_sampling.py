@@ -118,3 +118,61 @@ def test_pack_sequences_deterministic_across_partitioning(spark, docs):
     b = pack_sequences(d.repartition(17), capacity=128, n_buckets=4).toPandas()
     key = lambda x: x.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(key(a), key(b))
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token index is covered by ≥1 chunk; consecutive chunks overlap
+    by window-stride; empty docs emit nothing; short docs emit one chunk."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    " ".join(f"t{i}" for i in range(10)),  # 10 tokens
+                    "one two",                              # < window
+                    "   ",                                  # empty
+                ],
+            }
+        )
+    )
+    from nlnieuwscrawler_spark.operators.sampling import chunk_documents
+
+    out = chunk_documents(df, window=4, stride=3).toPandas()
+    d1 = out[out["doc_id"] == 1].sort_values("chunk_idx")
+    # starts at 1,4,7,10 (1-based) -> chunks of sizes 4,4,4,1
+    assert list(d1["n_chunk_tokens"]) == [4, 4, 4, 1]
+    assert d1.iloc[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert d1.iloc[1]["chunk_text"] == "t3 t4 t5 t6"  # 1-token overlap
+    # reassembling stride-heads reproduces the doc exactly
+    heads = [c.split()[:3] for c in d1["chunk_text"]]
+    assert [t for h in heads for t in h] == [f"t{i}" for i in range(10)]
+    assert len(out[out["doc_id"] == 2]) == 1
+    assert out[out["doc_id"] == 2].iloc[0]["chunk_text"] == "one two"
+    assert len(out[out["doc_id"] == 3]) == 0
+
+
+def test_pack_sequences_property_random_lengths(spark):
+    """Hypothesis-style randomized invariant check: any token-length
+    multiset packs with every doc exactly once and no shared bin over
+    capacity (seeded numpy draws, 5 profiles incl. heavy tails)."""
+    import numpy as np
+
+    from nlnieuwscrawler_spark.operators.sampling import pack_sequences
+
+    rng = np.random.default_rng(42)
+    for profile in range(5):
+        n = int(rng.integers(50, 300))
+        if profile % 2:
+            toks = rng.integers(1, 200, size=n)  # uniform
+        else:
+            toks = np.minimum((rng.pareto(1.5, size=n) * 40 + 1).astype(int), 5000)
+        pdf = pd.DataFrame({"doc_id": np.arange(n), "n_tokens": toks})
+        out = pack_sequences(
+            spark.createDataFrame(pdf), capacity=256, n_buckets=4
+        ).toPandas()
+        assert len(out) == n and out["doc_id"].is_unique
+        fills = out.groupby("bin_id").agg(
+            tok=("n_tokens", "sum"), cnt=("doc_id", "size")
+        )
+        bad = fills[(fills["tok"] > 256) & (fills["cnt"] > 1)]
+        assert bad.empty, (profile, bad)

@@ -177,3 +177,66 @@ def test_latest_snapshot_clustered_equivalent_and_single_exchange(
     import re
 
     assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1, plan
+
+
+def test_stream_ingest_to_store_idempotent_merge(spark, tmp_path):
+    """Streaming upsert into the SnapshotStore: the drained table equals
+    the batch latest-per-key result, every micro-batch committed an atomic
+    time-travelable snapshot, and re-delivering the same data (at-least-
+    once replay) leaves the table unchanged (idempotent merge)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from nlnieuwscrawler_spark.sources.tableio import SnapshotStore
+    from nlnieuwscrawler_spark.streaming.stream import stream_ingest_to_store
+
+    src = str(tmp_path / "telemetry_src")
+    pdf = pd.DataFrame(
+        {
+            "url_fp": [1, 2, 3, 1, 2, 4],
+            "status": ["ok", "ok", "miss", "lang", "ok", "ok"],
+            "batch": [0, 0, 0, 1, 1, 1],
+        }
+    )
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    for b in (0, 1):
+        spark.createDataFrame(pdf[pdf["batch"] == b]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("url_fp long, status string, batch long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = SnapshotStore(str(tmp_path / "snap"))
+    stream_ingest_to_store(
+        stream, store, "telemetry", "url_fp", str(tmp_path / "ckpt")
+    )
+    got = {
+        r["url_fp"]: r["status"]
+        for r in store.read_table(spark, "telemetry").collect()
+    }
+    # upsert semantics: last write per key wins across batches
+    want = {
+        int(r.url_fp): r.status
+        for r in pdf.sort_values("batch").itertuples()
+    }
+    assert got == want
+    v1 = store.current_version()
+    assert v1 >= 2  # one snapshot per non-empty micro-batch
+
+    # at-least-once replay: new query, same source, fresh checkpoint —
+    # the merge must be idempotent (same final table)
+    stream2 = (
+        spark.readStream.schema("url_fp long, status string, batch long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_ingest_to_store(
+        stream2, store, "telemetry", "url_fp", str(tmp_path / "ckpt2")
+    )
+    got2 = {
+        r["url_fp"]: r["status"]
+        for r in store.read_table(spark, "telemetry").collect()
+    }
+    assert got2 == got
