@@ -193,6 +193,35 @@ def ngram_jaccard_pairs(
     return out
 
 
+def dedup_retention(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    reliable: bool = False,
+) -> DataFrame:
+    """End-to-end keep-one-per-cluster retention → (id, component, keep).
+
+    The final step of every near-dup family: pairs (from ngram/minhash/
+    simhash/cosine) → connected components (:func:`dedup_components`) →
+    every doc labeled with its cluster and a ``keep`` flag (true for the
+    min-id representative and for all singletons). One fp-keyed left join
+    against the component table — docs outside the pair graph never enter
+    the iterative clustering at all, so at 100 TB the expensive part runs
+    on the (tiny) duplicate subgraph only.
+    """
+    comp = dedup_components(pairs, reliable=reliable)
+    label = F.coalesce(F.col("component"), F.col("doc_id"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            label.alias("component"),
+            (label == F.col("doc_id")).alias("keep"),
+        )
+    )
+
+
 def dedup_incremental(
     new_docs: DataFrame,
     seen_hashes: DataFrame,

@@ -2126,6 +2126,58 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_retention(spark, sf_dir):
+    """End-to-end near-dup retention: n-gram Jaccard pairs → connected
+    components → every doc labeled (component, keep) with keep=true for
+    the min-id representative and all singletons — the row-level output a
+    training pipeline filters on (operators/dedup.py:dedup_retention)."""
+    from nlnieuwscrawler_spark.operators.dedup import (
+        dedup_retention,
+        ngram_jaccard_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.7)
+    return dedup_retention(d, pairs).orderBy("doc_id")
+
+
+ORACLE_DEDUP_RETENTION = """
+WITH RECURSIVE g AS (
+  SELECT doc_id, lang,
+    list_distinct(list_transform(
+      range(1, greatest(len(string_split_regex(trim(lower(text)),'\\s+'))-2,0)+1),
+      i -> string_split_regex(trim(lower(text)),'\\s+')[i] || ' ' ||
+           string_split_regex(trim(lower(text)),'\\s+')[i+1] || ' ' ||
+           string_split_regex(trim(lower(text)),'\\s+')[i+2])) AS grams
+  FROM documents
+), pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_filter(a.grams, x -> list_contains(b.grams, x)))::DOUBLE /
+             (len(a.grams) + len(b.grams)
+              - len(list_filter(a.grams, x -> list_contains(b.grams, x)))) AS jacc
+    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  ) WHERE jacc >= 0.7
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id AS doc_id,
+       coalesce(c.component, d.doc_id)::BIGINT AS component,
+       (coalesce(c.component, d.doc_id) = d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+ORDER BY doc_id
+"""
+
+
 def q_chunk_documents(spark, sf_dir):
     """Overlapping token-window chunking (window=32, stride=24) — the
     sequence-prep flatMap; zero shuffles, pure higher-order exprs
@@ -2191,7 +2243,7 @@ FROM s ORDER BY doc_id, chunk_idx
 #   dedup: n-gram Jaccard ..... ngram_jaccard_pairs
 #   dedup: MinHash+LSH ........ minhash_lsh_pairs
 #   dedup: SimHash ............ simhash_pairs
-#   dedup: clustering ......... dedup_components
+#   dedup: clustering ......... dedup_components, dedup_retention
 #   similarity: ANN ........... ann_bruteforce, ann_lsh, ann_ivf
 #   similarity: cosine dup .... cosine_neardup
 #   curation: decontamination . decontaminate
@@ -2278,6 +2330,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,
     "dedup_incremental": q_dedup_incremental,
     "chunk_documents": q_chunk_documents,
+    "dedup_retention": q_dedup_retention,
     # --- NO_ORACLE (rows-only) entries LAST (see window policy above)
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -2359,4 +2412,5 @@ ORACLE: dict[str, str] = {
     "gopher_quality": ORACLE_GOPHER,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
+    "dedup_retention": ORACLE_DEDUP_RETENTION,
 }

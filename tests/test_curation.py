@@ -72,3 +72,22 @@ def test_dedup_incremental_composes_with_exact(spark):
     assert ids == {11, 12, 13}  # 10 dropped (content seen), dups 11/12 kept
     reps = dedup_exact(surv)
     assert {r["keep_id"] for r in reps.collect()} == {11, 13}
+
+
+def test_dedup_retention_keep_one_per_cluster(spark):
+    """Chain {1,2,3} keeps only 1; pair {10,11} keeps 10; singleton 99
+    keeps itself; every doc appears exactly once."""
+    from nlnieuwscrawler_spark.operators.dedup import dedup_retention
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 10, 11, 99]})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2, 10], "doc_b": [2, 3, 11]})
+    )
+    out = {r["doc_id"]: (r["component"], r["keep"])
+           for r in dedup_retention(docs, pairs).collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False), 99: (99, True),
+    }
