@@ -1,0 +1,155 @@
+"""Curation operators at scale: synthesize N word-soup docs (seeded,
+~1% planted near-dups, Zipf sources) and time each training-data
+operator on local[CORES]. Evidence for BENCH/BASELINE.md's curation
+appendix — the sf0.1 registry fixtures are 5k docs; this runs the same
+operators at 100-1000x that.
+
+Usage: python scripts/curation_scale_bench.py [n_docs] [cores]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VOCAB = (
+    "key agg row scan slow fast table value part hash merge batch spark the "
+    "line sort window order data column join small customer query big vector "
+    "group stream filter de het een en and of a index shuffle broadcast"
+).split()
+
+
+def gen_docs(spark, n_docs: int):
+    """Deterministic corpus: text is a pure function of doc_id (seeded
+    xxhash64 chain over a fixed vocab), ~1% of docs are near-copies of a
+    base doc (suffix token changed), source is Zipf-ish over 20 values."""
+    from pyspark.sql import functions as F
+
+    v = F.array(*[F.lit(w) for w in VOCAB])
+    n_words = 60
+    base = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        # near-dup planting: doc_id % 97 == 1 copies doc_id-1's words
+        # except the last position
+        lambda i: F.element_at(
+            v,
+            (
+                F.pmod(
+                    F.xxhash64(
+                        F.when(
+                            (F.pmod(F.col("doc_id"), F.lit(97)) == 1)
+                            & (i < n_words - 1),
+                            F.col("doc_id") - 1,
+                        ).otherwise(F.col("doc_id")),
+                        i,
+                    ),
+                    F.lit(len(VOCAB)),
+                )
+                + 1
+            ).cast("int"),
+        ),
+    )
+    zipf = F.pmod(
+        F.floor(F.pow(F.lit(2.0), F.pmod(F.xxhash64("doc_id"), F.lit(40)) / 8.0)),
+        F.lit(20),
+    ).cast("int")
+    return base.select(
+        "doc_id",
+        F.concat_ws(" ", words).alias("text"),
+        F.concat(F.lit("src"), zipf).alias("source"),
+        F.lit("nl").alias("lang"),
+    )
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    from pyspark.sql import functions as F
+
+    from nlnieuwscrawler_spark.functions.text import (
+        gopher_quality,
+        repetition_stats,
+        token_count_ws,
+    )
+    from nlnieuwscrawler_spark.operators.dedup import (
+        decontaminate,
+        dedup_exact,
+        dedup_incremental,
+        minhash_lsh_pairs,
+    )
+    from nlnieuwscrawler_spark.operators.sampling import (
+        chunk_documents,
+        pack_sequences,
+        stratified_sample,
+    )
+    from nlnieuwscrawler_spark.session import get_spark
+
+    spark = get_spark(
+        "nlnc-curation-scale",
+        master=f"local[{cores}]",
+        shuffle_partitions=2 * cores,
+    )
+    path = f"/tmp/nlnc_curation_docs_{n_docs}"
+    if not os.path.exists(path):
+        gen_docs(spark, n_docs).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+
+    timings: dict[str, float] = {}
+
+    def run(name, df, checksum=False):
+        # checksum=True for projection-only ops: a bare count() lets
+        # Catalyst prune the computed columns entirely (measured: the
+        # whole gopher_quality projection "ran" in 0.17 s at 2M docs);
+        # summing a hash over every output column forces full evaluation
+        t0 = time.perf_counter()
+        if checksum:
+            # decimal sum: ANSI mode overflows a LONG sum of 2M hashes
+            df.select(
+                F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()
+            n = -1
+        else:
+            n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"op": name, "rows": n, "sec": timings[name]}))
+        return n
+
+    run("dedup_exact", dedup_exact(docs))
+    run("minhash_lsh_pairs", minhash_lsh_pairs(docs, threshold=0.7))
+    run("stratified_sample", stratified_sample(docs, "source", quota=1000, salt=16))
+    run(
+        "pack_sequences",
+        pack_sequences(
+            docs.withColumn("n_tokens", token_count_ws(F.col("text"))),
+            capacity=2048,
+            n_buckets=512,
+        ),
+    )
+    run("chunk_documents", chunk_documents(docs, window=32, stride=24), checksum=True)
+    run("repetition_stats", repetition_stats(docs))
+    run("gopher_quality", gopher_quality(docs), checksum=True)
+    ev = docs.filter(F.pmod(F.col("doc_id"), F.lit(9973)) == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    run("decontaminate", decontaminate(docs, ev, min_overlap=8))
+    seen = (
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+    )
+    run(
+        "dedup_incremental",
+        dedup_incremental(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0), seen),
+    )
+    print(json.dumps({"n_docs": n_docs, "cores": cores, "timings": timings}))
+
+
+if __name__ == "__main__":
+    main()

@@ -176,3 +176,15 @@ def test_pack_sequences_property_random_lengths(spark):
         )
         bad = fills[(fills["tok"] > 256) & (fills["cnt"] > 1)]
         assert bad.empty, (profile, bad)
+
+
+def test_decontaminate_shuffle_mode_identical(spark, docs):
+    """broadcast_eval=False (eval suite too big to broadcast) must produce
+    exactly the same contamination pairs as the broadcast path."""
+    ev = docs.limit(5).select(F.col("doc_id").alias("eval_id"), "text")
+    a = {(r["doc_id"], r["eval_id"], r["n_shared"])
+         for r in decontaminate(docs, ev, min_overlap=3).collect()}
+    b = {(r["doc_id"], r["eval_id"], r["n_shared"])
+         for r in decontaminate(
+             docs, ev, min_overlap=3, broadcast_eval=False).collect()}
+    assert a == b and a
