@@ -196,6 +196,159 @@ def gopher_quality(df, text_col: str = "text", id_col: str = "doc_id"):
 
 
 # --------------------------------------------------------------------------
+# vocabulary + TF-IDF (tokenizer-prep / retrieval weighting)
+# --------------------------------------------------------------------------
+
+def vocab_topk(df, text_col: str = "text", id_col: str = "doc_id", k: int = 100):
+    """Corpus top-k vocabulary → (token, n_occurrences, n_docs, rank).
+
+    The tokenizer-prep step (seed vocab for BPE training, stopword
+    discovery, frequency cutoffs). One explode + one hash agg keyed by
+    (doc, token) — per-doc term counts AND document frequency fall out of
+    the same shuffle (``count distinct doc`` is free because the rows are
+    already (doc, token)-unique) — then a second narrow agg by token and
+    a distributed top-k (``orderBy().limit(k)`` plans as
+    TakeOrderedAndProject: no global sort, each partition ships only its
+    local top k). The rank window runs on the k-row result.
+    """
+    toks = tokens_col_text(F.col(text_col))
+    per_doc = (
+        df.select(id_col, F.explode(toks).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("__tf"))
+    )
+    by_tok = per_doc.groupBy("token").agg(
+        F.sum("__tf").alias("n_occurrences"),
+        F.count("*").alias("n_docs"),
+    )
+    topk = by_tok.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def tfidf_topk(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    per_doc: int = 5,
+):
+    """Top-``per_doc`` TF-IDF terms per document → (id, token, score, rank).
+
+    Classic smooth-idf weighting: ``score = tf × (ln((N+1)/(df+1)) + 1)``,
+    rounded to 6 dp for cross-engine float equality (ln parity with
+    DuckDB is pinned by the hash-green BM25 oracle, which uses the same
+    libm path). Shapes: one (doc, token) agg shuffle for tf; document
+    frequency via a narrow token agg; N via a broadcast 1-row aggregate
+    (never a driver collect); per-doc rank windows partition on the doc
+    id — naturally balanced, no skew salting needed.
+    """
+    toks = tokens_col_text(F.col(text_col))
+    tf = (
+        df.select(id_col, F.explode(toks).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("token").agg(F.count("*").alias("__df"))
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("__n")
+    )
+    scored = (
+        tf.join(dft, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("__n") + 1) / (F.col("__df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= per_doc)
+        .select(id_col, "token", "score", "rank")
+    )
+
+
+def pmi_bigrams(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 20,
+):
+    """Top-k bigram collocations by pointwise mutual information →
+    (tok_a, tok_b, n_ab, pmi).
+
+    Corpus phrase mining (multi-word-expression discovery before
+    tokenizer training): ``pmi = ln( (c_ab/B) / ((c_a/T)·(c_b/T)) )``
+    over corpus-wide counts, min-count filtered, 6-dp rounded. Shapes:
+    one bigram-explode agg + one unigram-explode agg (both map-side
+    combined), totals as broadcast 1-row aggregates, two narrow joins on
+    the token, distributed top-k. Nothing is quadratic; the joins key on
+    single tokens (bounded vocab).
+    """
+    toks = tokens_col_text(F.col(text_col))
+    n2 = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams2 = F.transform(
+        F.sequence(F.lit(1), n2),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("tok_a"),
+            F.element_at(toks, i + 1).alias("tok_b"),
+        ),
+    )
+    bi = (
+        df.select(F.explode(F.when(n2 > 0, grams2)).alias("__b"))
+        .select("__b.tok_a", "__b.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_tok"))
+    )
+    totals = df.select(
+        F.sum(F.size(toks)).alias("__T"),
+        F.sum(n2).alias("__B"),
+    )
+    scored = (
+        bi.join(uni.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("__ca")), "tok_a")
+        .join(uni.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("__cb")), "tok_b")
+        .join(F.broadcast(totals))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n_ab") / F.col("__B"))
+                    / ((F.col("__ca") / F.col("__T")) * (F.col("__cb") / F.col("__T")))
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.select("tok_a", "tok_b", "n_ab", "pmi")
+        .orderBy(F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
 # winnowing fingerprints (rolling hash + min-sampling) — numpy pandas UDF
 # --------------------------------------------------------------------------
 

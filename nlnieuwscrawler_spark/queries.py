@@ -2206,6 +2206,103 @@ FROM s ORDER BY doc_id, chunk_idx
 """
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus top-40 vocabulary (tokenizer-prep): occurrence + doc
+    frequency from one (doc, token) shuffle, distributed top-k."""
+    from nlnieuwscrawler_spark.functions.text import vocab_topk
+
+    d = load(spark, sf_dir, "documents")
+    return vocab_topk(d, k=40).orderBy("rank")
+
+
+ORACLE_VOCAB_TOPK = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\\s+')) AS token
+  FROM documents WHERE len(trim(text)) > 0
+),
+c AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token),
+v AS (
+  SELECT token, sum(tf) AS n_occurrences, count(*) AS n_docs
+  FROM c GROUP BY token
+)
+SELECT token, n_occurrences::BIGINT AS n_occurrences, n_docs::BIGINT AS n_docs,
+       row_number() OVER (ORDER BY n_occurrences DESC, token ASC)::BIGINT AS rank
+FROM v ORDER BY n_occurrences DESC, token ASC LIMIT 40
+"""
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Top-5 TF-IDF terms per doc (smooth idf, 6-dp rounded for
+    cross-engine float equality; ln parity pinned by the BM25 oracle)."""
+    from nlnieuwscrawler_spark.functions.text import tfidf_topk
+
+    d = load(spark, sf_dir, "documents")
+    return tfidf_topk(d, per_doc=5).orderBy("doc_id", "rank")
+
+
+ORACLE_TFIDF = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\\s+')) AS token
+  FROM documents WHERE len(trim(text)) > 0
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token),
+dft AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY token),
+n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf * (ln((n.nd + 1)::DOUBLE / (dft.dfreq + 1)) + 1.0), 6)
+           AS score
+  FROM tf JOIN dft USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, token, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
+"""
+
+
+def q_pmi_bigrams(spark, sf_dir):
+    """Top-20 PMI bigram collocations (phrase mining before tokenizer
+    training); corpus-wide counts, broadcast totals, distributed top-k."""
+    from nlnieuwscrawler_spark.functions.text import pmi_bigrams
+
+    d = load(spark, sf_dir, "documents")
+    return pmi_bigrams(d, min_count=5, k=20)
+
+
+ORACLE_PMI = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)),'\\s+') AS toks
+  FROM documents WHERE len(trim(text)) > 0
+),
+bi AS (
+  SELECT toks[i] AS tok_a, toks[i+1] AS tok_b, count(*) AS n_ab
+  FROM d, unnest(range(1, greatest(len(toks)-1,0)+1)) r(i)
+  GROUP BY 1, 2 HAVING count(*) >= 5
+),
+uni AS (
+  SELECT tok, count(*) AS n_tok FROM (
+    SELECT unnest(toks) AS tok FROM d
+  ) GROUP BY tok
+),
+tot AS (
+  SELECT sum(len(toks)) AS T, sum(greatest(len(toks)-1,0)) AS B FROM d
+)
+SELECT bi.tok_a, bi.tok_b, bi.n_ab::BIGINT AS n_ab,
+  round(ln( (bi.n_ab::DOUBLE / tot.B) /
+        ((ua.n_tok::DOUBLE / tot.T) * (ub.n_tok::DOUBLE / tot.T)) ), 6) AS pmi
+FROM bi
+JOIN uni ua ON ua.tok = bi.tok_a
+JOIN uni ub ON ub.tok = bi.tok_b
+CROSS JOIN tot
+ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2237,7 +2334,8 @@ FROM s ORDER BY doc_id, chunk_idx
 #   text analysis ............. lang_id, token_stats, quality_scores,
 #                               text_quality, lang_gate, repetition_stats,
 #                               gopher_quality
-#   search/ranking ............ bm25_search
+#   search/ranking ............ bm25_search, tfidf_topk
+#   tokenizer prep ............ vocab_topk, pmi_bigrams
 #   fingerprinting ............ winnow_fingerprints
 #   dedup: exact .............. dedup_exact, dedup_incremental
 #   dedup: n-gram Jaccard ..... ngram_jaccard_pairs
@@ -2331,6 +2429,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "chunk_documents": q_chunk_documents,
     "dedup_retention": q_dedup_retention,
+    "vocab_topk": q_vocab_topk,
+    "tfidf_topk": q_tfidf_topk,
+    "pmi_bigrams": q_pmi_bigrams,
     # --- NO_ORACLE (rows-only) entries LAST (see window policy above)
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -2413,4 +2514,7 @@ ORACLE: dict[str, str] = {
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "dedup_retention": ORACLE_DEDUP_RETENTION,
+    "vocab_topk": ORACLE_VOCAB_TOPK,
+    "tfidf_topk": ORACLE_TFIDF,
+    "pmi_bigrams": ORACLE_PMI,
 }
