@@ -180,11 +180,21 @@ class SnapshotStore:
         name: str,
         version: int | None = None,
         prune: dict[str, Any] | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Read a table snapshot; ``prune={src_col: value}`` maps the value
         through the table's hidden partition transform and filters on the
         derived partition column — Spark's partition discovery then scans
-        only the matching directory (hidden-partitioning read path)."""
+        only the matching directory (hidden-partitioning read path).
+        ``tag`` resolves a named ref pinned by :meth:`tag` (mutually
+        exclusive with ``version``)."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass either version or tag, not both")
+            tags = self._read_tags()
+            if tag not in tags:
+                raise KeyError(f"no tag {tag!r}")
+            version = tags[tag]
         m = self.read_manifest(version)
         if m is None or name not in m["tables"]:
             raise KeyError(f"no snapshot for table {name!r}")
@@ -211,9 +221,15 @@ class SnapshotStore:
         schema = meta.get("schema")
         if schema:
             cols = []
-            for cname, ctype in schema:
-                if cname in df.columns:
-                    cols.append(F.col(cname))
+            for entry in schema:
+                # [name, type] or [name, type, source_file_name] — the
+                # third element is the on-disk column name after a
+                # rename_column (the emulation's stand-in for Iceberg
+                # field IDs)
+                cname, ctype = entry[0], entry[1]
+                src = entry[2] if len(entry) > 2 else cname
+                if src in df.columns:
+                    cols.append(F.col(src).alias(cname))
                 else:
                     cols.append(F.lit(None).cast(ctype).alias(cname))
             df = df.select(*cols)
@@ -304,13 +320,65 @@ class SnapshotStore:
             raise ValueError(f"column {col_name!r} already exists on {name!r}")
         schema.append([col_name, col_type])
         meta["schema"] = schema
+        return self._commit_metadata(prev, name, meta, epoch)
+
+    def drop_column(self, name: str, col_name: str, epoch: int) -> int:
+        """Rewrite-free ALTER TABLE DROP COLUMN: the manifest schema loses
+        the column, data files are untouched — readers of the new snapshot
+        never see it (the read path projects to the manifest schema),
+        time travel to older versions still does. Dropping the hidden
+        partition source column is refused (pruning would break)."""
+        prev = self.read_manifest()
+        if prev is None or name not in prev["tables"]:
+            raise KeyError(f"no snapshot for table {name!r}")
+        meta = dict(prev["tables"][name])
+        schema = [list(c) for c in (meta.get("schema") or [])]
+        if not any(c[0] == col_name for c in schema):
+            raise KeyError(f"no column {col_name!r} on {name!r}")
+        part = meta.get("partitioning")
+        if part and part[1] == col_name:
+            raise ValueError(
+                f"{col_name!r} is {name!r}'s hidden-partition source column"
+            )
+        meta["schema"] = [c for c in schema if c[0] != col_name]
+        return self._commit_metadata(prev, name, meta, epoch)
+
+    def rename_column(self, name: str, old: str, new: str, epoch: int) -> int:
+        """Rewrite-free ALTER TABLE RENAME COLUMN. Iceberg does this with
+        field IDs; the emulation keeps the FILE column name as a third
+        schema-entry element (``[name, type, source]``) so the read path
+        still finds the data under its on-disk name and presents it under
+        the new one. Older snapshots (time travel) keep the old name."""
+        prev = self.read_manifest()
+        if prev is None or name not in prev["tables"]:
+            raise KeyError(f"no snapshot for table {name!r}")
+        meta = dict(prev["tables"][name])
+        schema = [list(c) for c in (meta.get("schema") or [])]
+        if any(c[0] == new for c in schema):
+            raise ValueError(f"column {new!r} already exists on {name!r}")
+        hit = False
+        for c in schema:
+            if c[0] == old:
+                source = c[2] if len(c) > 2 else c[0]
+                c[0] = new
+                if len(c) > 2:
+                    c[2] = source
+                else:
+                    c.append(source)
+                hit = True
+        if not hit:
+            raise KeyError(f"no column {old!r} on {name!r}")
+        meta["schema"] = schema
+        return self._commit_metadata(prev, name, meta, epoch)
+
+    def _commit_metadata(self, prev, name: str, meta, epoch: int) -> int:
+        """Metadata-only snapshot commit (schema evolution): data files are
+        the previous version's, so the fingerprint stamp carries forward."""
         version = prev["version"] + 1
         entry = {
             "version": version,
             "epoch": epoch,
             "committed_at": time.time(),
-            # metadata-only commit: data files are the previous version's,
-            # so the fingerprint stamp carries forward unchanged
             "fingerprint_spec": prev.get(
                 "fingerprint_spec", _fpspec.FINGERPRINT_SPEC
             ),
@@ -327,6 +395,29 @@ class SnapshotStore:
         os.replace(ptr + ".tmp", ptr)
         return version
 
+    # -- tags / refs (Iceberg branch-less refs) -----------------------------
+    def tag(self, tag_name: str, version: int | None = None) -> int:
+        """Pin a named tag to a snapshot version (Iceberg tags/refs):
+        ``read_table(tag=...)`` resolves it, and ``expire_snapshots``
+        never GCs files reachable from a tagged version."""
+        v = self.current_version() if version is None else version
+        if v is None or self.read_manifest(v) is None:
+            raise KeyError(f"no snapshot version {version!r} to tag")
+        tags = self._read_tags()
+        tags[tag_name] = v
+        tpath = os.path.join(self.root, "_tags.json")
+        with open(tpath + ".tmp", "w") as f:
+            json.dump(tags, f, indent=1)
+        os.replace(tpath + ".tmp", tpath)
+        return v
+
+    def _read_tags(self) -> dict[str, int]:
+        tpath = os.path.join(self.root, "_tags.json")
+        if not os.path.exists(tpath):
+            return {}
+        with open(tpath) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
     def expire_snapshots(self, keep_last: int = 2) -> None:
         """GC versioned data dirs unreachable from the kept manifests
         (Iceberg expire_snapshots): carry-forward means an OLD version's
@@ -336,6 +427,8 @@ class SnapshotStore:
         if cur is None:
             return
         keep_versions = {v for v in range(cur - keep_last + 1, cur + 1) if v >= 1}
+        # tagged snapshots are refs: never GC files they reach
+        keep_versions.update(self._read_tags().values())
         referenced: set[str] = set()
         for v in keep_versions:
             m = self.read_manifest(v)

@@ -141,3 +141,59 @@ def test_schema_evolution_add_column(spark, tmp_path):
     # the evolution commit moved ZERO data: v2 references v1's files
     m1, m2 = store.read_manifest(v1), store.read_manifest(v2)
     assert m1["tables"]["t"]["path"] == m2["tables"]["t"]["path"]
+
+
+def test_schema_evolution_drop_and_rename(spark, store):
+    """Rewrite-free DROP/RENAME COLUMN: data files untouched, the new
+    snapshot presents the evolved schema, time travel keeps the old one;
+    renamed columns keep their values (file name tracked as the schema
+    entry's source, the emulation's stand-in for Iceberg field IDs)."""
+    v1 = store.commit(spark, {"t": _kv(spark, [(1, "a"), (2, "b")])}, epoch=0)
+    v2 = store.rename_column("t", "v", "label", epoch=1)
+    now = store.read_table(spark, "t")
+    assert now.columns == ["k", "label"]
+    assert {r["k"]: r["label"] for r in now.collect()} == {1: "a", 2: "b"}
+    # time travel: old name
+    assert store.read_table(spark, "t", version=v1).columns == ["k", "v"]
+    v3 = store.drop_column("t", "label", epoch=2)
+    assert store.read_table(spark, "t").columns == ["k"]
+    assert store.read_table(spark, "t", version=v2).columns == ["k", "label"]
+    # a later real commit writes the evolved shape
+    import pandas as pd
+
+    store.commit(spark, {"t": spark.createDataFrame(
+        pd.DataFrame({"k": [9]}), "k long")}, epoch=3)
+    assert {r["k"] for r in store.read_table(spark, "t").collect()} == {9}
+    # guards
+    with pytest.raises(KeyError):
+        store.drop_column("t", "nope", epoch=4)
+    with pytest.raises(ValueError):
+        store.rename_column("t", "k", "k", epoch=4)
+
+
+def test_drop_partition_source_column_refused(spark, store):
+    store.commit(
+        spark, {"t": _kv(spark, [(1, "a")])}, epoch=0,
+        partitioning={"t": ("bucket", "k", 4)},
+    )
+    with pytest.raises(ValueError, match="partition"):
+        store.drop_column("t", "k", epoch=1)
+
+
+def test_tags_resolve_and_survive_expiry(spark, store):
+    """Iceberg tags/refs: read_table(tag=) resolves the pinned version and
+    expire_snapshots never GCs files reachable from a tagged snapshot."""
+    v1 = store.commit(spark, {"t": _kv(spark, [(1, "a")])}, epoch=0)
+    store.tag("release-1", v1)
+    for e in range(1, 4):
+        store.commit(spark, {"t": _kv(spark, [(e, "x")])}, epoch=e)
+    store.expire_snapshots(keep_last=1)
+    tagged = {r["k"]: r["v"] for r in
+              store.read_table(spark, "t", tag="release-1").collect()}
+    assert tagged == {1: "a"}
+    cur = {r["k"] for r in store.read_table(spark, "t").collect()}
+    assert cur == {3}
+    with pytest.raises(KeyError):
+        store.read_table(spark, "t", tag="nope")
+    with pytest.raises(ValueError):
+        store.read_table(spark, "t", version=v1, tag="release-1")
