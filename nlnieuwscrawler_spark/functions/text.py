@@ -107,9 +107,14 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     keyed by (doc, token), one by doc; no UDF, no window. The bigram
     ratio is a pure per-row projection (no extra shuffle).
     """
-    toks = tokens_col_text(F.col(text_col))
+    # tokenize once into a real column — see pmi_bigrams: lambda-internal
+    # references to the split expression re-evaluate it per element
+    tokd = df.select(
+        id_col, tokens_col_text(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
     per_tok = (
-        df.select(id_col, F.explode(toks).alias("__tok"))
+        tokd.select(id_col, F.explode(toks).alias("__tok"))
         .groupBy(id_col, "__tok")
         .agg(F.count("*").alias("__n"))
         .groupBy(id_col)
@@ -124,7 +129,7 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
         F.sequence(F.lit(1), n2),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
     )
-    bigram = df.select(
+    bigram = tokd.select(
         id_col,
         F.when(
             n2 > 0,
@@ -301,7 +306,12 @@ def pmi_bigrams(
     the token, distributed top-k. Nothing is quadratic; the joins key on
     single tokens (bounded vocab).
     """
-    toks = tokens_col_text(F.col(text_col))
+    # tokenize ONCE into a real column: referencing the split expression
+    # inside the transform lambda re-evaluates it per element (no CSE
+    # across a LambdaFunction boundary) — measured O(tokens²) splitting,
+    # 6.4 s → 0.6 s at 5k docs for the same result
+    tokd = df.select(tokens_col_text(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     n2 = F.greatest(F.size(toks) - 1, F.lit(0))
     grams2 = F.transform(
         F.sequence(F.lit(1), n2),
@@ -311,18 +321,18 @@ def pmi_bigrams(
         ),
     )
     bi = (
-        df.select(F.explode(F.when(n2 > 0, grams2)).alias("__b"))
+        tokd.select(F.explode(F.when(n2 > 0, grams2)).alias("__b"))
         .select("__b.tok_a", "__b.tok_b")
         .groupBy("tok_a", "tok_b")
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= min_count)
     )
     uni = (
-        df.select(F.explode(toks).alias("tok"))
+        tokd.select(F.explode(toks).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("n_tok"))
     )
-    totals = df.select(
+    totals = tokd.select(
         F.sum(F.size(toks)).alias("__T"),
         F.sum(n2).alias("__B"),
     )

@@ -170,14 +170,20 @@ def chunk_documents(
     """
     from nlnieuwscrawler_spark.functions.text import tokens_col_text
 
-    toks = tokens_col_text(F.col(text_col))
+    # tokenize once into a real column: a lambda-internal reference to the
+    # split expression re-evaluates it per chunk (no CSE across the
+    # LambdaFunction boundary)
+    tokd = df.select(
+        id_col, tokens_col_text(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
     starts = F.when(
         F.size(toks) > 0,
         F.sequence(F.lit(1), F.size(toks), F.lit(stride)),
     ).otherwise(F.array().cast("array<int>"))
     chunks = F.transform(starts, lambda s: F.slice(toks, s, window))
     return (
-        df.select(
+        tokd.select(
             id_col,
             F.posexplode(chunks).alias("chunk_idx", "__chunk"),
         )
