@@ -2068,7 +2068,9 @@ def q_gopher_quality(spark, sf_dir):
 ORACLE_GOPHER = """
 WITH f AS (
   SELECT doc_id,
-    string_split_regex(trim(lower(text)),'\\s+') AS toks,
+    CASE WHEN len(trim(text)) > 0
+         THEN string_split_regex(trim(lower(text)),'\\s+')
+         ELSE []::VARCHAR[] END AS toks,
     len(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) AS chars
   FROM documents
 ),

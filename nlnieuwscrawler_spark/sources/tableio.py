@@ -310,7 +310,18 @@ class SnapshotStore:
         whose data files are the PREVIOUS version's, untouched — readers of
         the new snapshot see the column as typed nulls until a later commit
         writes it; readers of older snapshots (time travel) never see it.
-        Zero data movement — the whole point at 100 TB."""
+        Zero data movement — the whole point at 100 TB.
+
+        The schema entry records a FRESH field-ID sentinel as its file
+        source (``__fid_v<version>_<name>``) rather than the column name
+        itself. Real Iceberg keys file columns by field ID, so a column
+        added after a ``drop_column``/``rename_column`` of the same name
+        gets a NEW ID and reads nulls; without the sentinel, the read
+        path's name-based projection would find the dropped/renamed
+        column's bytes still sitting in the old data files and silently
+        resurrect them (ADVICE r4). The sentinel is guaranteed absent
+        from data files, and the next real write of the table rebuilds
+        the schema from the DataFrame, collapsing source back to name."""
         prev = self.read_manifest()
         if prev is None or name not in prev["tables"]:
             raise KeyError(f"no snapshot for table {name!r}")
@@ -318,7 +329,9 @@ class SnapshotStore:
         schema = [list(c) for c in (meta.get("schema") or [])]
         if any(c[0] == col_name for c in schema):
             raise ValueError(f"column {col_name!r} already exists on {name!r}")
-        schema.append([col_name, col_type])
+        schema.append(
+            [col_name, col_type, f"__fid_v{prev['version'] + 1}_{col_name}"]
+        )
         meta["schema"] = schema
         return self._commit_metadata(prev, name, meta, epoch)
 
@@ -348,7 +361,11 @@ class SnapshotStore:
         field IDs; the emulation keeps the FILE column name as a third
         schema-entry element (``[name, type, source]``) so the read path
         still finds the data under its on-disk name and presents it under
-        the new one. Older snapshots (time travel) keep the old name."""
+        the new one. Older snapshots (time travel) keep the old name.
+        Renaming the hidden-partition source column follows Iceberg:
+        the partition spec tracks the field (by ID there, by updated
+        name here), so ``read_table(prune={new_name: v})`` keeps working
+        — the on-disk ``__p`` directory values never change (ADVICE r4)."""
         prev = self.read_manifest()
         if prev is None or name not in prev["tables"]:
             raise KeyError(f"no snapshot for table {name!r}")
@@ -369,6 +386,9 @@ class SnapshotStore:
         if not hit:
             raise KeyError(f"no column {old!r} on {name!r}")
         meta["schema"] = schema
+        part = meta.get("partitioning")
+        if part and part[1] == old:
+            meta["partitioning"] = [part[0], new, part[2]]
         return self._commit_metadata(prev, name, meta, epoch)
 
     def _commit_metadata(self, prev, name: str, meta, epoch: int) -> int:

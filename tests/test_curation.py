@@ -91,3 +91,31 @@ def test_dedup_retention_keep_one_per_cluster(spark):
         1: (1, True), 2: (1, False), 3: (1, False),
         10: (10, True), 11: (10, False), 99: (99, True),
     }
+
+
+def test_gopher_empty_doc_engine_oracle_parity(spark):
+    """ADVICE r4: the DuckDB oracle must agree with the engine on
+    empty/whitespace-only docs (string_split_regex('') yields [''] in
+    DuckDB unless guarded — the engine's tokens_col_text yields [])."""
+    import duckdb
+
+    from nlnieuwscrawler_spark.queries import ORACLE_GOPHER
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3],
+         "text": ["", "   ",
+                  "the cat and the hat of a de het een big dog here now ok"]}
+    )
+    eng = (
+        gopher_quality(spark.createDataFrame(pdf))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    ora = con.execute(ORACLE_GOPHER).fetchdf()
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora.reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert eng.loc[0, "n_tokens"] == 0 and eng.loc[1, "n_tokens"] == 0

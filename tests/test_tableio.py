@@ -197,3 +197,50 @@ def test_tags_resolve_and_survive_expiry(spark, store):
         store.read_table(spark, "t", tag="nope")
     with pytest.raises(ValueError):
         store.read_table(spark, "t", version=v1, tag="release-1")
+
+def test_add_after_drop_or_rename_reads_nulls_not_old_bytes(spark, store):
+    """Field-ID emulation (ADVICE r4): a column added after a drop/rename
+    of the same name must read as typed nulls — real Iceberg assigns a new
+    field ID, so the old bytes sitting in unchanged data files must NOT be
+    resurrected by name-based projection."""
+    store.commit(spark, {"t": _kv(spark, [(1, "secret"), (2, "classified")])},
+                 epoch=0)
+    # drop 'v' then re-add it: the dropped values must NOT reappear
+    store.drop_column("t", "v", epoch=1)
+    store.add_column("t", "v", "string", epoch=2)
+    readded = store.read_table(spark, "t")
+    assert readded.columns == ["k", "v"]
+    assert readded.filter(F.col("v").isNotNull()).count() == 0
+    # rename k->kk then add a fresh 'k': 'kk' keeps the data, 'k' is nulls
+    store.rename_column("t", "k", "kk", epoch=3)
+    store.add_column("t", "k", "long", epoch=4)
+    df = store.read_table(spark, "t")
+    assert set(df.columns) == {"kk", "v", "k"}
+    assert {r["kk"] for r in df.collect()} == {1, 2}
+    assert df.filter(F.col("k").isNotNull()).count() == 0
+    assert df.filter(F.col("v").isNotNull()).count() == 0
+    # a later REAL write collapses the sentinel back to the file column
+    fresh = spark.createDataFrame([(7, "x", 70)], "kk long, v string, k long")
+    store.commit(spark, {"t": fresh}, epoch=5, lineage_bucket_col=None)
+    got = store.read_table(spark, "t").collect()[0]
+    assert (got["kk"], got["v"], got["k"]) == (7, "x", 70)
+
+
+def test_rename_partition_source_column_keeps_pruning(spark, store):
+    """Renaming the hidden-partition source column updates the spec (as
+    Iceberg's field-ID-keyed partition spec does): pruning works under the
+    NEW logical name; the on-disk __p layout never changes (ADVICE r4)."""
+    df = spark.range(0, 100).select(
+        F.col("id").alias("url_fp"), F.col("id").cast("string").alias("v")
+    )
+    store.commit(spark, {"t": df}, epoch=0,
+                 partitioning={"t": ("bucket", "url_fp", 4)})
+    store.rename_column("t", "url_fp", "fp", epoch=1)
+    pruned = store.read_table(spark, "t", prune={"fp": 6})
+    assert pruned.count() == 25  # bucket 6 % 4 == 2
+    assert pruned.filter(F.col("fp") == 6).count() == 1
+    files = {r[0] for r in pruned.select(F.input_file_name()).distinct().collect()}
+    assert all("__p=2" in f for f in files), files
+    # the OLD name no longer resolves for pruning
+    with pytest.raises(ValueError):
+        store.read_table(spark, "t", prune={"url_fp": 6})
