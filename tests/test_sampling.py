@@ -188,3 +188,31 @@ def test_decontaminate_shuffle_mode_identical(spark, docs):
          for r in decontaminate(
              docs, ev, min_overlap=3, broadcast_eval=False).collect()}
     assert a == b and a
+
+
+def test_stratified_sample_exchanges_are_narrow(spark, docs):
+    """Scale shape (VERDICT r4 #3): ranking runs on the narrow
+    (id, stratum, md5) projection — the fat text column must never enter
+    ANY exchange; the corpus side joins the winners back via broadcast
+    hash probe with zero corpus shuffle."""
+    out = stratified_sample(docs, "source", quota=7, salt=4)
+    out.count()
+    qe = out._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the rank-side scan is pruned to (doc_id, source) — text never read
+    assert "struct<doc_id:bigint,source:string>" in plan, plan
+    # every shuffle exchange's input is the narrow projection
+    formatted = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        qe, "formatted"
+    )
+    blocks = formatted.split("\n\n")
+    exch = [b for b in blocks if b.lstrip().startswith("(")
+            and "Exchange" in b.splitlines()[0]]
+    assert exch, formatted
+    for b in exch:
+        inputs = [l for l in b.splitlines() if l.startswith("Input")]
+        assert inputs, b
+        assert "text#" not in inputs[0], b
