@@ -2368,27 +2368,29 @@ ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 20
 #     string_funcs, union_all, orders_per_year, array_stats, range_frame
 #     (trivial, hash-green in r1/r2/r3; still verified by /verify and
 #     pytest every session).
+#   * Round-5 rotation (VERDICT r4 #1): IN — the 8 r4 queries the driver
+#     has never graded (repetition_stats, gopher_quality,
+#     dedup_incremental, chunk_documents, dedup_retention, vocab_topk,
+#     tfidf_topk, pmi_bigrams). OUT — window_running, hourly_events,
+#     json_props, pivot_status, left_outer_join, percentiles,
+#     ntile_buckets, map_props (hash-green in every round since r1/r2).
+#     Round 6 should cycle the 13 currently-out queries back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "region_revenue": q_region_revenue,
     "window_topk_per_customer": q_window_topk_per_customer,
-    "window_running": q_window_running,
     "semi_anti_join": q_semi_anti_join,
     "set_ops": q_set_ops,
     "rollup_metrics": q_rollup_metrics,
     "asof_latest_event": q_asof_latest_event,
     "asof_join_left": q_asof_join_left,
-    "hourly_events": q_hourly_events,
-    "json_props": q_json_props,
     "dedup_exact": q_dedup_exact,
     "text_quality": q_text_quality,
     "lang_gate": q_lang_gate,
-    "pivot_status": q_pivot_status,
     "grouping_sets": q_grouping_sets,
     "unpivot": q_unpivot,
     "range_join": q_range_join,
-    "left_outer_join": q_left_outer_join,
     "udtf_tokens": q_udtf_tokens,
     "variant_props": q_variant_props,
     "python_datasource": q_python_datasource,
@@ -2396,10 +2398,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_stream_join": q_stream_stream_join,
     "correlated_above_avg": q_correlated_above_avg,
     "exists_parts": q_exists_parts,
-    "percentiles": q_percentiles,
-    "ntile_buckets": q_ntile_buckets,
     "percent_rank_cume": q_percent_rank_cume,
-    "map_props": q_map_props,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_bruteforce": q_ann_bruteforce,
     "cosine_neardup": q_cosine_neardup,
@@ -2419,13 +2418,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
-    # --- positions 51+: oracle-backed but outside the driver's 50-entry
-    # window this round (rotation policy above)
-    "string_funcs": q_string_funcs,
-    "union_all": q_union_all,
-    "orders_per_year": q_orders_per_year,
-    "array_stats": q_array_stats,
-    "range_frame": q_range_frame,
     "repetition_stats": q_repetition_stats,
     "gopher_quality": q_gopher_quality,
     "dedup_incremental": q_dedup_incremental,
@@ -2434,6 +2426,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "tfidf_topk": q_tfidf_topk,
     "pmi_bigrams": q_pmi_bigrams,
+    # --- positions 51+: oracle-backed but outside the driver's 50-entry
+    # window this round (rotation policy above)
+    "window_running": q_window_running,
+    "hourly_events": q_hourly_events,
+    "json_props": q_json_props,
+    "pivot_status": q_pivot_status,
+    "left_outer_join": q_left_outer_join,
+    "percentiles": q_percentiles,
+    "ntile_buckets": q_ntile_buckets,
+    "map_props": q_map_props,
+    "string_funcs": q_string_funcs,
+    "union_all": q_union_all,
+    "orders_per_year": q_orders_per_year,
+    "array_stats": q_array_stats,
+    "range_frame": q_range_frame,
     # --- NO_ORACLE (rows-only) entries LAST (see window policy above)
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
