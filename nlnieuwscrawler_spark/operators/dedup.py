@@ -127,6 +127,11 @@ def ngram_jaccard_pairs(
     # int64 is ~20× cheaper than on strings across O(pairs) evaluations;
     # Jaccard over hashed distinct sets equals Jaccard over the strings
     # (xxhash64 collisions among ~10^2 grams/doc are ~2^-50 events).
+    # persisted: ``ex`` feeds BOTH the document-frequency aggregate and the
+    # ordered-gram rebuild below — without the cache the tokenize+shingle
+    # explode (the pipeline's CPU hot spot) runs twice COLD (the r4 CSE fix
+    # only helped warm runs; the driver bench is cold-first-run). The rows
+    # are the narrow (id, blk, tok) projection — spillable, never the text.
     ex = _spread(
         df.select(
             F.col(id_col).alias("id"),
@@ -141,7 +146,7 @@ def ngram_jaccard_pairs(
                 F.transform(word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s))
             )
         ).alias("tok"),
-    )
+    ).persist()
     freq = ex.groupBy("tok").agg(F.count("*").alias("freq"))
     # persisted: the ordered gram table feeds the prefix explode AND both
     # verify join-backs — unpersisted, the shingle pipeline runs three times
@@ -200,6 +205,7 @@ def ngram_jaccard_pairs(
         .localCheckpoint(eager=True)
     )
     g.unpersist()
+    ex.unpersist()
     return out
 
 
@@ -208,6 +214,7 @@ def dedup_retention(
     pairs: DataFrame,
     id_col: str = "doc_id",
     reliable: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """End-to-end keep-one-per-cluster retention → (id, component, keep).
 
@@ -219,7 +226,7 @@ def dedup_retention(
     the iterative clustering at all, so at 100 TB the expensive part runs
     on the (tiny) duplicate subgraph only.
     """
-    comp = dedup_components(pairs, reliable=reliable)
+    comp = dedup_components(pairs, reliable=reliable, stats=stats)
     label = F.coalesce(F.col("component"), F.col("doc_id"))
     return (
         docs.select(F.col(id_col).alias("doc_id"))
@@ -319,6 +326,7 @@ def dedup_components(
     id_b: str = "doc_b",
     max_iter: int = 50,
     reliable: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph → (doc_id, component).
 
@@ -338,7 +346,12 @@ def dedup_components(
     default is ``localCheckpoint`` (fast, single-box/test mode).
     Convergence detected by an exact decimal sum of labels (labels only
     ever decrease, so equal sum ⟺ fixpoint).
+
+    ``stats``: pass a dict to receive ``{"rounds": n, "round_secs":
+    [...]}`` — the scale bench reports the iteration profile with it.
     """
+    import time as _time
+
     from nlnieuwscrawler_spark.operators.checkpoint import cut_lineage
 
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -354,7 +367,9 @@ def dedup_components(
         reliable,
     )
     prev_sum = None
+    round_secs: list[float] = []
     for _ in range(max_iter):
+        t_round = _time.perf_counter()
         nmin = (
             edges.join(
                 lab.select(F.col("id").alias("dst"), F.col("label").alias("dlab")),
@@ -384,9 +399,13 @@ def dedup_components(
         cur = lab.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
+        round_secs.append(round(_time.perf_counter() - t_round, 3))
         if cur == prev_sum:
             break
         prev_sum = cur
+    if stats is not None:
+        stats["rounds"] = len(round_secs)
+        stats["round_secs"] = round_secs
     return lab.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
 
 

@@ -2015,6 +2015,165 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(d, capacity=512, n_buckets=16).orderBy("doc_id")
 
 
+def q_curate_pipeline(spark, sf_dir):
+    """END-TO-END curation composite (operators/curate.py): gopher gates →
+    exact dedup → incremental dedup vs a history shard (doc_id % 31 == 0)
+    → n-gram-Jaccard near-dup retention → decontamination vs the eval
+    slice (doc_id % 97 == 0) → stratified per-source sampling → FFD
+    packing. Returns the per-stage audit (stage_idx, stage, rows_kept) —
+    the row a data team reviews before a training run. Every stage is
+    SQL-expressible in jaccard mode, so the WHOLE chain is exact-oracled
+    (the composed CTE oracle below); packed == sampled pins the
+    packing-drops-nothing invariant in the audit itself."""
+    from nlnieuwscrawler_spark.operators.curate import curate
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.pmod(F.col("doc_id"), F.lit(31)) != 0)
+    hist = (
+        d.filter(F.pmod(F.col("doc_id"), F.lit(31)) == 0)
+        .select(F.md5(F.col("text")).alias("content_hash"))
+        .distinct()
+    )
+    ev = d.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    res = curate(
+        corpus,
+        eval_docs=ev,
+        seen_hashes=hist,
+        near_dup="jaccard",
+        near_dup_threshold=0.7,
+        decon_min_overlap=8,
+        quota=7,
+        salt=4,
+        capacity=256,
+        pack_buckets=8,
+    )
+    # materialize the tiny 8-row audit eagerly so the persisted corpus
+    # intermediates can be released here (a lazy return would pin them in
+    # the cache manager for the session)
+    out = res.stage_counts.orderBy("stage_idx").localCheckpoint(eager=True)
+    res.unpersist()
+    return out
+
+
+ORACLE_CURATE = """
+WITH RECURSIVE corpus AS (
+  SELECT * FROM documents WHERE doc_id % 31 <> 0
+),
+hist AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 31 = 0
+),
+tokf AS (
+  SELECT doc_id,
+    CASE WHEN len(trim(text)) > 0
+         THEN string_split_regex(trim(lower(text)),'\\s+')
+         ELSE []::VARCHAR[] END AS toks,
+    len(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) AS chars
+  FROM corpus
+),
+gq AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, len(toks) AS n,
+      CASE WHEN len(toks) > 0 THEN round(chars::DOUBLE / len(toks), 4)
+           ELSE 0.0 END AS mwl,
+      len(list_filter(list_distinct(toks),
+          x -> list_contains(['the','a','de','het','een','en','and','of'], x)))
+        AS sh,
+      CASE WHEN len(toks) > 0
+           THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 1.0 END AS dr
+    FROM tokf
+  ) WHERE n >= 10 AND n <= 100000 AND mwl >= 2.0 AND mwl <= 12.0
+        AND sh >= 2 AND dr >= 0.1
+),
+qd AS (SELECT c.* FROM corpus c JOIN gq USING (doc_id)),
+exk AS (SELECT min(doc_id) AS doc_id FROM qd GROUP BY md5(text)),
+exd AS (SELECT q.* FROM qd q JOIN exk USING (doc_id)),
+incd AS (SELECT * FROM exd WHERE md5(text) NOT IN (SELECT h FROM hist)),
+g AS (
+  SELECT doc_id, lang,
+    list_distinct(list_transform(
+      range(1, greatest(len(string_split_regex(trim(lower(text)),'\\s+'))-2,0)+1),
+      i -> string_split_regex(trim(lower(text)),'\\s+')[i] || ' ' ||
+           string_split_regex(trim(lower(text)),'\\s+')[i+1] || ' ' ||
+           string_split_regex(trim(lower(text)),'\\s+')[i+2])) AS grams
+  FROM incd
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_filter(a.grams, x -> list_contains(b.grams, x)))::DOUBLE /
+             (len(a.grams) + len(b.grams)
+              - len(list_filter(a.grams, x -> list_contains(b.grams, x)))), 6) AS jacc
+    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  ) WHERE jacc >= 0.7
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+),
+keepd AS (
+  SELECT i.* FROM incd i LEFT JOIN comp c USING (doc_id)
+  WHERE coalesce(c.component, i.doc_id) = i.doc_id
+),
+evg AS (
+  SELECT doc_id AS eval_id,
+    list_distinct(list_transform(
+      range(1, greatest(len(string_split_regex(trim(lower(text)),'\\s+'))-2,0)+1),
+      i -> string_split_regex(trim(lower(text)),'\\s+')[i] || ' ' ||
+           string_split_regex(trim(lower(text)),'\\s+')[i+1] || ' ' ||
+           string_split_regex(trim(lower(text)),'\\s+')[i+2])) AS egrams
+  FROM documents WHERE doc_id % 97 = 0
+),
+kg AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(len(string_split_regex(trim(lower(text)),'\\s+'))-2,0)+1),
+      i -> string_split_regex(trim(lower(text)),'\\s+')[i] || ' ' ||
+           string_split_regex(trim(lower(text)),'\\s+')[i+1] || ' ' ||
+           string_split_regex(trim(lower(text)),'\\s+')[i+2])) AS grams
+  FROM keepd
+),
+contaminated AS (
+  SELECT DISTINCT k.doc_id
+  FROM kg k, evg e
+  WHERE len(list_filter(k.grams, x -> list_contains(e.egrams, x))) >= 8
+),
+decd AS (
+  SELECT * FROM keepd
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+samp AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY source
+                     ORDER BY md5(doc_id::VARCHAR), doc_id) AS rnk
+    FROM decd
+  ) WHERE rnk <= 7
+)
+SELECT stage_idx::INT AS stage_idx, stage, rows_kept::BIGINT AS rows_kept
+FROM (
+  SELECT 0 AS stage_idx, 'input' AS stage, count(*) AS rows_kept FROM corpus
+  UNION ALL SELECT 1, 'quality', count(*) FROM qd
+  UNION ALL SELECT 2, 'exact', count(*) FROM exd
+  UNION ALL SELECT 3, 'incremental', count(*) FROM incd
+  UNION ALL SELECT 4, 'near_dup', count(*) FROM keepd
+  UNION ALL SELECT 5, 'decontaminated', count(*) FROM decd
+  UNION ALL SELECT 6, 'sampled', count(*) FROM samp
+  UNION ALL SELECT 7, 'packed', count(*) FROM samp
+) ORDER BY stage_idx
+"""
+
+
 def q_repetition_stats(spark, sf_dir):
     """Token-repetition profile per doc (Gopher/RefinedWeb repetition
     filters): distinct-token ratio, dominant-token ratio, duplicate-bigram
@@ -2373,7 +2532,9 @@ ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 20
 #     dedup_incremental, chunk_documents, dedup_retention, vocab_topk,
 #     tfidf_topk, pmi_bigrams). OUT — window_running, hourly_events,
 #     json_props, pivot_status, left_outer_join, percentiles,
-#     ntile_buckets, map_props (hash-green in every round since r1/r2).
+#     ntile_buckets, map_props, unpivot (hash-green in every round
+#     since r1/r2); unpivot's seat goes to the new curate_pipeline
+#     composite (end-to-end curation audit, composed CTE oracle).
 #     Round 6 should cycle the 13 currently-out queries back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
@@ -2389,7 +2550,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "lang_gate": q_lang_gate,
     "grouping_sets": q_grouping_sets,
-    "unpivot": q_unpivot,
     "range_join": q_range_join,
     "udtf_tokens": q_udtf_tokens,
     "variant_props": q_variant_props,
@@ -2418,6 +2578,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
+    "curate_pipeline": q_curate_pipeline,
     "repetition_stats": q_repetition_stats,
     "gopher_quality": q_gopher_quality,
     "dedup_incremental": q_dedup_incremental,
@@ -2428,6 +2589,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_bigrams": q_pmi_bigrams,
     # --- positions 51+: oracle-backed but outside the driver's 50-entry
     # window this round (rotation policy above)
+    "unpivot": q_unpivot,
     "window_running": q_window_running,
     "hourly_events": q_hourly_events,
     "json_props": q_json_props,
@@ -2518,6 +2680,7 @@ ORACLE: dict[str, str] = {
     "bm25_search": ORACLE_BM25,
     "decontaminate": ORACLE_DECONTAMINATE,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "curate_pipeline": ORACLE_CURATE,
     "repetition_stats": ORACLE_REPETITION,
     "gopher_quality": ORACLE_GOPHER,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,

@@ -122,7 +122,25 @@ def main() -> None:
         return n
 
     run("dedup_exact", dedup_exact(docs))
-    run("minhash_lsh_pairs", minhash_lsh_pairs(docs, threshold=0.7))
+    pairs = minhash_lsh_pairs(docs, threshold=0.7).persist()
+    run("minhash_lsh_pairs", pairs)
+    # VERDICT r4 #5: the iterative clustering chain at scale — components +
+    # keep-one-per-cluster retention over the 2M-doc minhash pair graph,
+    # with the per-round iteration profile (pointer doubling must keep
+    # rounds logarithmic; each round is two bounded shuffles)
+    from nlnieuwscrawler_spark.operators.dedup import dedup_retention
+
+    # timed around CONSTRUCTION too: the components loop runs eagerly at
+    # call time (per-round convergence jobs), so timing only the final
+    # count would hide the iterative part
+    comp_stats: dict = {}
+    t0 = time.perf_counter()
+    ret = dedup_retention(docs, pairs, stats=comp_stats)
+    n_ret = ret.count()
+    timings["dedup_retention"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"op": "dedup_retention", "rows": n_ret,
+                      "sec": timings["dedup_retention"], **comp_stats}))
+    pairs.unpersist()
     run("stratified_sample", stratified_sample(docs, "source", quota=1000, salt=16))
     run(
         "pack_sequences",
@@ -148,7 +166,59 @@ def main() -> None:
         "dedup_incremental",
         dedup_incremental(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0), seen),
     )
-    print(json.dumps({"n_docs": n_docs, "cores": cores, "timings": timings}))
+
+    # VERDICT r4 #6: the end-to-end curate() composite as ONE measured run
+    # (minhash mode — the 100 TB path), audit included
+    from nlnieuwscrawler_spark.operators.curate import curate
+
+    t0 = time.perf_counter()
+    res = curate(
+        docs,
+        eval_docs=ev,
+        seen_hashes=seen,
+        near_dup="minhash",
+        near_dup_threshold=0.7,
+        quota=1000,
+        salt=16,
+        capacity=2048,
+        pack_buckets=512,
+    )
+    audit = {
+        r["stage"]: r["rows_kept"]
+        for r in res.stage_counts.orderBy("stage_idx").collect()
+    }
+    n_packed = res.packed.count()
+    timings["curate_composite"] = round(time.perf_counter() - t0, 2)
+    res.unpersist()
+    print(json.dumps({"op": "curate_composite", "rows": n_packed,
+                      "sec": timings["curate_composite"], "audit": audit}))
+
+    # VERDICT r4 #7: embeddings leg — IVF ANN at n_vecs = n_docs/2 synthetic
+    # 64-d vectors (deterministic: sin of seeded xxhash64), 100 queries
+    from nlnieuwscrawler_spark.operators.similarity import ann_ivf_topk
+
+    n_vecs = max(100_000, n_docs // 2)
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.sin(F.xxhash64(F.col("id"), i).cast("double") / 1e9)
+            .cast("float"),
+        ).alias("embedding"),
+    )
+    vpath = f"/tmp/nlnc_curation_vecs_{n_vecs}"
+    if not os.path.exists(vpath):
+        vecs.write.mode("overwrite").parquet(vpath)
+    vecs = spark.read.parquet(vpath)
+    q = vecs.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    run(
+        "ann_ivf_1pct_lists",
+        ann_ivf_topk(vecs, q, k=10, n_lists=64, nprobe=8),
+    )
+    print(json.dumps({"n_docs": n_docs, "n_vecs": n_vecs, "cores": cores,
+                      "timings": timings}))
 
 
 if __name__ == "__main__":

@@ -119,3 +119,89 @@ def test_gopher_empty_doc_engine_oracle_parity(spark):
         check_dtype=False,
     )
     assert eng.loc[0, "n_tokens"] == 0 and eng.loc[1, "n_tokens"] == 0
+
+
+def _curate_corpus(spark):
+    base = ("the quick brown fox jumps over a lazy dog and then runs far "
+            "away home")
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [
+        (1, base, "nl", "web"),
+        (2, base, "nl", "web"),                       # exact dup of 1
+        (3, base + " tonight", "nl", "web"),          # near dup of 1
+        (4, "the history of a town and its seven old bridges across "
+            "the green river", "nl", "web"),          # hash in history
+        (5, "the results a summary " + run, "nl", "web"),  # eval overlap
+        (6, "short text", "nl", "web"),               # fails gopher
+        (7, "a different story about the sea and ships sailing north "
+            "under bright cold stars", "nl", "web"),
+        (8, "the old market of a village sells cheese bread fish and "
+            "fresh flowers every morning", "nl", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    hist = docs.filter(F.col("doc_id") == 4).select(
+        F.md5("text").alias("content_hash")
+    )
+    ev = spark.createDataFrame([(100, run)], "eval_id long, text string")
+    return docs, hist, ev
+
+
+def test_curate_composite_stage_audit(spark):
+    """One planted drop per stage; the audit must attribute each to the
+    right stage, and packing must never drop (packed == sampled)."""
+    from nlnieuwscrawler_spark.operators.curate import STAGES, curate
+
+    docs, hist, ev = _curate_corpus(spark)
+    res = curate(docs, eval_docs=ev, seen_hashes=hist, near_dup="jaccard",
+                 near_dup_threshold=0.7, decon_min_overlap=8,
+                 quota=10, salt=2, capacity=64, pack_buckets=4)
+    counts = {r["stage"]: r["rows_kept"]
+              for r in res.stage_counts.collect()}
+    assert [r["stage"] for r in
+            res.stage_counts.orderBy("stage_idx").collect()] == STAGES
+    assert counts == {
+        "input": 8, "quality": 7, "exact": 6, "incremental": 5,
+        "near_dup": 4, "decontaminated": 3, "sampled": 3, "packed": 3,
+    }, counts
+    kept = {r["doc_id"] for r in res.curated.collect()}
+    assert kept == {1, 7, 8}
+    # packing assigned every curated doc exactly once
+    packed_ids = [r["doc_id"] for r in res.packed.collect()]
+    assert sorted(packed_ids) == sorted(kept)
+    res.unpersist()
+
+
+def test_curate_minhash_and_none_modes(spark):
+    """minhash mode catches the same planted near-dup here; near_dup=None
+    passes everything through the near_dup stage."""
+    from nlnieuwscrawler_spark.operators.curate import curate
+
+    docs, hist, ev = _curate_corpus(spark)
+    res = curate(docs, eval_docs=ev, seen_hashes=hist, near_dup="minhash",
+                 near_dup_threshold=0.7, quota=10, salt=2)
+    counts = {r["stage"]: r["rows_kept"] for r in res.stage_counts.collect()}
+    assert counts["near_dup"] == 4 and counts["sampled"] == 3
+    res.unpersist()
+    res2 = curate(docs, eval_docs=ev, seen_hashes=hist, near_dup=None,
+                  quota=10, salt=2)
+    counts2 = {r["stage"]: r["rows_kept"] for r in res2.stage_counts.collect()}
+    assert counts2["near_dup"] == counts2["incremental"] == 5
+    res2.unpersist()
+
+
+def test_curate_quota_caps_sources(spark):
+    """Stratified stage caps each source at quota deterministically."""
+    from nlnieuwscrawler_spark.operators.curate import curate
+
+    rows = [(i,
+             f"the number {i} story of a little town and its {i % 5} red "
+             "boats on the wide calm river",
+             "nl", "web" if i % 2 else "news") for i in range(1, 41)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    res = curate(docs, near_dup=None, quota=5, salt=2)
+    counts = {r["stage"]: r["rows_kept"] for r in res.stage_counts.collect()}
+    assert counts["sampled"] == 10  # 5 per source x 2 sources
+    per = (res.curated.groupBy("source").count().collect())
+    assert {r["source"]: r["count"] for r in per} == {"web": 5, "news": 5}
+    res.unpersist()
