@@ -164,11 +164,19 @@ def curate(
     if pairs is None:
         keepd = incd
     else:
+        # persist the pair table through clustering: dedup_components
+        # references it twice (the edge-flip union), and in minhash mode
+        # the pair plan is the expensive candidate+verify join — uncached
+        # it would evaluate twice (measured: ~2× the minhash leg inside
+        # the 2M composite). Released as soon as the (checkpointed) edge
+        # table exists, which dedup_retention materializes eagerly.
+        pairs = pairs.persist()
         keep_ids = (
             dedup_retention(incd, pairs, id_col=id_col, reliable=reliable)
             .filter(F.col("keep"))
             .select(id_col)
         )
+        pairs.unpersist()
         keepd = incd.join(keep_ids, id_col)
 
     # -- 5. eval-set decontamination ----------------------------------------

@@ -464,6 +464,10 @@ def minhash_lsh_pairs(
         # would all collide into one hot '' bucket (O(m²) candidates)
         .filter(F.size("grams") > 0)
         .withColumn("sig", minhash_signature(F.col("grams"), num_hashes))
+        # persisted: g feeds the banding explode AND both verify join-backs
+        # — uncached, the shingle + 32-seeded-xxhash64 signature pipeline
+        # (the operator's dominant CPU cost) evaluates three times per run
+        .persist()
     )
 
     band_cols = [
@@ -496,7 +500,12 @@ def minhash_lsh_pairs(
             F.round(jaccard(F.col("ga"), F.col("gb")), 6).alias("jacc"),
         )
         .filter(F.col("jacc") >= threshold)
+        # materialize eagerly so the signature cache can be released here
+        # (same lifecycle as ngram_jaccard_pairs: the verified pair set is
+        # tiny — linear in true near-dups)
+        .localCheckpoint(eager=True)
     )
+    g.unpersist()
     return verified
 
 
