@@ -53,10 +53,10 @@ def _path_query(url: Column) -> Column:
 
 
 def url_host(url: Column) -> Column:
-    """Lowercased host without port or trailing dot (native exprs)."""
+    """Lowercased host without port or trailing dots (native exprs)."""
     auth = _authority(_strip_fragment(url))
     host = F.regexp_replace(auth, r":\d*$", "")
-    return F.regexp_replace(F.lower(host), r"\.$", "")
+    return F.regexp_replace(F.lower(host), r"\.+$", "")
 
 
 def url_path(url: Column) -> Column:
@@ -116,7 +116,9 @@ def normalize_url(url: Column) -> Column:
     u = _strip_fragment(F.trim(url))
     scheme = _scheme(u)
     auth = _authority(u)
-    host = F.regexp_replace(F.lower(F.regexp_replace(auth, r":\d*$", "")), r"\.$", "")
+    # ALL trailing dots (matches oracle/pyurls.py): '..' -> '' -> rejected,
+    # keeping normalize idempotent on dot-only authorities
+    host = F.regexp_replace(F.lower(F.regexp_replace(auth, r":\d*$", "")), r"\.+$", "")
     port = F.regexp_extract(auth, r":(\d+)$", 1)
     pq = _path_query(u)
     raw_path = F.regexp_extract(pq, r"^([^?]*)", 1)

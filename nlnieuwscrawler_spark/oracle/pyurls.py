@@ -75,7 +75,10 @@ def normalize_url(url: str | None) -> str | None:
     u = _strip_fragment(_trim(url))
     scheme = _scheme(u)
     auth = _authority(u)
-    host = re.sub(r"\.$", "", re.sub(r":\d*$", "", auth).lower())
+    # ALL trailing dots, not one: a dot-only authority ('..') must reduce
+    # to '' and be rejected, or normalize would not be idempotent
+    # ('http://..' -> 'http://./' -> None)
+    host = re.sub(r"\.+$", "", re.sub(r":\d*$", "", auth).lower())
     pm = re.search(r":(\d+)$", auth)
     port = pm.group(1) if pm else ""
     pq = _path_query(u)

@@ -39,6 +39,9 @@ CASES = [
     ("http://nu.nl:80/a.html", "http://nu.nl/a.html"),
     ("https://nu.nl:8080/a.html", "https://nu.nl:8080/a.html"),
     ("https://NU.NL./a.html", "https://nu.nl/a.html"),
+    ("https://nu.nl../a.html", "https://nu.nl/a.html"),  # all trailing dots
+    ("http://..", None),   # dot-only authority (idempotency regression)
+    ("http://.", None),
     ("https://nu.nl", "https://nu.nl/"),
     ("https://nu.nl//a//b.html", "https://nu.nl/a/b.html"),
     ("https://nu.nl/a/b/", "https://nu.nl/a/b/"),
