@@ -8,6 +8,8 @@ deliverable pipeline over a web-text corpus:
     → incremental dedup vs history    operators/dedup.py:dedup_incremental
     → near-dup retention              minhash_lsh_pairs | ngram_jaccard_pairs
                                       → dedup_retention (components, keep-one)
+    → C4-style global span dedup      operators/dedup.py:dedup_spans
+      (optional; docs rebuilt from first-occurrence spans, empties drop)
     → eval-set decontamination        operators/dedup.py:decontaminate
     → stratified per-source sampling  operators/sampling.py:stratified_sample
     → sequence packing (FFD bins)     operators/sampling.py:pack_sequences
@@ -46,6 +48,7 @@ from nlnieuwscrawler_spark.operators.dedup import (
     dedup_exact,
     dedup_incremental,
     dedup_retention,
+    dedup_spans,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
 )
@@ -61,6 +64,7 @@ STAGES = [
     "exact",
     "incremental",
     "near_dup",
+    "span_dedup",
     "decontaminated",
     "sampled",
     "packed",
@@ -100,6 +104,7 @@ def curate(
     near_dup: str | None = "minhash",
     near_dup_threshold: float = 0.7,
     near_dup_block: str | None = "lang",
+    span_dedup: int | None = None,
     decon_min_overlap: int = 8,
     quota: int = 7,
     salt: int = 8,
@@ -114,8 +119,13 @@ def curate(
     ``seen_hashes``: (content_hash) table of previously-ingested md5s
     (cross-batch dedup); None skips the stage (count = exact's).
     ``eval_docs``: (eval_id, text) benchmark suite; None skips
-    decontamination. ``reliable``: route the clustering lineage cuts
-    through the SparkContext checkpoint dir (executor-loss-safe).
+    decontamination. ``span_dedup``: span width for C4-style GLOBAL
+    span-level dedup of the retained docs (every repeat of any
+    ``span_dedup``-token span corpus-wide is removed, docs are rebuilt
+    from their surviving spans, docs losing every span drop out); None
+    skips the stage (count = near_dup's). ``reliable``: route the
+    clustering lineage cuts through the SparkContext checkpoint dir
+    (executor-loss-safe).
     """
     # -- 1. quality gates ---------------------------------------------------
     quality_ids = (
@@ -179,11 +189,25 @@ def curate(
         pairs.unpersist()
         keepd = incd.join(keep_ids, id_col)
 
-    # -- 5. eval-set decontamination ----------------------------------------
+    # -- 5. C4-style global span dedup (optional) ---------------------------
+    if span_dedup is not None:
+        rebuilt = (
+            dedup_spans(keepd, span=span_dedup, text_col=text_col, id_col=id_col)
+            .filter(F.col("n_spans_kept") > 0)
+            .select(id_col, F.col("text_dedup").alias(text_col))
+        )
+        # text is REPLACED by the rebuild (lowered tokens, single-space
+        # joined — the tokenizer's canonical form, so downstream gram /
+        # token stages see identical tokens); all other columns ride along
+        spand = keepd.drop(text_col).join(rebuilt, id_col)
+    else:
+        spand = keepd
+
+    # -- 6. eval-set decontamination ----------------------------------------
     if eval_docs is not None:
         flagged = (
             decontaminate(
-                keepd,
+                spand,
                 eval_docs,
                 text_col=text_col,
                 id_col=id_col,
@@ -193,19 +217,19 @@ def curate(
             .select(id_col)
             .distinct()
         )
-        decd = keepd.join(flagged, id_col, "left_anti")
+        decd = spand.join(flagged, id_col, "left_anti")
     else:
-        decd = keepd
+        decd = spand
     decd = decd.persist()
     cached.append(decd)
 
-    # -- 6. stratified per-source sampling ----------------------------------
+    # -- 7. stratified per-source sampling ----------------------------------
     sampled = stratified_sample(
         decd, strata_col, quota=quota, id_col=id_col, salt=salt
     ).persist()
     cached.append(sampled)
 
-    # -- 7. sequence packing -------------------------------------------------
+    # -- 8. sequence packing -------------------------------------------------
     packed = pack_sequences(
         sampled.withColumn("__nt", token_count_ws(F.col(text_col))),
         tokens_col="__nt",
@@ -215,7 +239,7 @@ def curate(
     )
 
     # -- stage audit: ONE union-all aggregation job --------------------------
-    stage_dfs = [docs, qd, exd, incd, keepd, decd, sampled, packed]
+    stage_dfs = [docs, qd, exd, incd, keepd, spand, decd, sampled, packed]
     counts = reduce(
         DataFrame.unionByName,
         [

@@ -589,3 +589,87 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# span-level global dedup (C4-style)
+# --------------------------------------------------------------------------
+
+def dedup_spans(
+    df: DataFrame,
+    span: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove all but the FIRST occurrence of every ``span``-token span
+    corpus-wide, then reassemble each doc from its surviving spans — the
+    C4 "discard all but one of any three-sentence span occurring more
+    than once in the dataset" rule, at fixed token-window granularity
+    (word-soup corpora have no sentence boundaries; C4's spans become
+    non-overlapping ``span``-token windows of the shared whitespace
+    tokenizer).
+
+    "First" is total and engine-portable: the occurrence with the
+    smallest ``(doc_id, span_idx)`` wins, including within-doc repeats.
+    Output: one row per non-empty doc — ``(id, n_spans, n_spans_kept,
+    text_dedup)``; a doc whose every span was seen earlier survives with
+    ``n_spans_kept = 0`` and empty ``text_dedup`` (the caller decides the
+    drop threshold — C4 drops empties downstream).
+
+    100 TB shape: two corpus-sized exchanges, both unavoidable for a
+    GLOBAL span dedup (the span text must meet its duplicates somewhere):
+    (1) hash-agg by span text with map-side partial ``min(struct(id,
+    idx))`` — the winner struct, NOT the row set, crosses the wire for
+    repeated spans; (2) regroup of surviving spans by doc id for
+    reassembly. The final count join reuses exchange (2)'s hash
+    partitioning (join key == the regroup key, so only the narrow
+    ``(id, n_spans)`` projection moves — requireAllClusterKeys holds).
+    Span explosion itself is a zero-shuffle flatMap pipelined into the
+    scan, exactly like :func:`~nlnieuwscrawler_spark.operators.sampling.
+    chunk_documents`.
+    """
+    from nlnieuwscrawler_spark.functions.text import tokens_col_text
+
+    tokd = df.select(
+        id_col, tokens_col_text(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    toks = F.col("__toks")
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(span))
+    spans = tokd.select(
+        id_col,
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice(toks, s, span))
+        ).alias("span_idx", "__sp"),
+    ).select(id_col, "span_idx", F.concat_ws(" ", "__sp").alias("span"))
+
+    # global first occurrence per distinct span: lexicographic struct min
+    # is associative → map-side combine; only one (id, idx) winner per
+    # distinct span reaches the reduce side
+    kept = (
+        spans.groupBy("span")
+        .agg(F.min(F.struct(id_col, "span_idx")).alias("w"))
+        .select(
+            F.col(f"w.{id_col}").alias(id_col),
+            F.col("w.span_idx").alias("span_idx"),
+            "span",
+        )
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                lambda s: s["span"],
+            ),
+        ).alias("text_dedup"),
+    )
+    counts = tokd.select(
+        id_col, F.size(starts).cast("long").alias("n_spans")
+    )
+    return counts.join(rebuilt, on=id_col, how="left").select(
+        id_col,
+        "n_spans",
+        F.coalesce("n_spans_kept", F.lit(0)).cast("long").alias("n_spans_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )

@@ -207,3 +207,43 @@ def chunk_documents(
             F.concat_ws(" ", "__chunk").alias("chunk_text"),
         )
     )
+
+
+def importance_sample(
+    df: DataFrame,
+    weight,
+    id_col: str = "doc_id",
+    prob_col: str = "keep_prob",
+    weight_col: str = "sample_weight",
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep each row with
+    probability ``weight`` (a Column in [0,1] or a column name), using an
+    md5-derived uniform draw instead of an RNG — the quality-weighted
+    corpus-mixing step (upsample high-quality sources, downsample boiler-
+    plate) of a training-data pipeline, reproducible across runs, engines
+    and repartitionings.
+
+    The draw is ``int(md5(str(id))[:8], 16) / 2^32`` — a uniform double
+    any engine computes bit-identically (a < 2^32 integer and a power-of-
+    two divisor are both exact in IEEE754); a row survives iff
+    ``draw < clamp(weight, 0, 1)``. Survivors carry ``prob_col`` (the
+    clamped keep probability) and ``weight_col`` = 1/p, the inverse-
+    propensity weight downstream loss accounting needs for an unbiased
+    corpus estimate.
+
+    100 TB shape: a pure projection + filter — zero shuffles, pipelined
+    into the scan, trivially scale-free. SQL twin (the oracle):
+    ``('0x' || substr(md5(id::VARCHAR),1,8))::UBIGINT / 4294967296.0``.
+    """
+    p_raw = F.col(weight) if isinstance(weight, str) else weight
+    p = F.least(F.greatest(p_raw.cast("double"), F.lit(0.0)), F.lit(1.0))
+    draw = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        df.withColumn(prob_col, p)
+        .filter(draw < F.col(prob_col))
+        .withColumn(weight_col, F.round(F.lit(1.0) / F.col(prob_col), 6))
+    )

@@ -2018,13 +2018,14 @@ def q_pack_sequences(spark, sf_dir):
 def q_curate_pipeline(spark, sf_dir):
     """END-TO-END curation composite (operators/curate.py): gopher gates →
     exact dedup → incremental dedup vs a history shard (doc_id % 31 == 0)
-    → n-gram-Jaccard near-dup retention → decontamination vs the eval
-    slice (doc_id % 97 == 0) → stratified per-source sampling → FFD
-    packing. Returns the per-stage audit (stage_idx, stage, rows_kept) —
-    the row a data team reviews before a training run. Every stage is
-    SQL-expressible in jaccard mode, so the WHOLE chain is exact-oracled
-    (the composed CTE oracle below); packed == sampled pins the
-    packing-drops-nothing invariant in the audit itself."""
+    → n-gram-Jaccard near-dup retention → C4-style global 16-token-span
+    dedup (docs rebuilt from first-occurrence spans) → decontamination vs
+    the eval slice (doc_id % 97 == 0) → stratified per-source sampling →
+    FFD packing. Returns the per-stage audit (stage_idx, stage,
+    rows_kept) — the row a data team reviews before a training run. Every
+    stage is SQL-expressible in jaccard mode, so the WHOLE chain is
+    exact-oracled (the composed CTE oracle below); packed == sampled pins
+    the packing-drops-nothing invariant in the audit itself."""
     from nlnieuwscrawler_spark.operators.curate import curate
 
     d = load(spark, sf_dir, "documents")
@@ -2043,13 +2044,14 @@ def q_curate_pipeline(spark, sf_dir):
         seen_hashes=hist,
         near_dup="jaccard",
         near_dup_threshold=0.7,
+        span_dedup=16,
         decon_min_overlap=8,
         quota=7,
         salt=4,
         capacity=256,
         pack_buckets=8,
     )
-    # materialize the tiny 8-row audit eagerly so the persisted corpus
+    # materialize the tiny 9-row audit eagerly so the persisted corpus
     # intermediates can be released here (a lazy return would pin them in
     # the cache manager for the session)
     out = res.stage_counts.orderBy("stage_idx").localCheckpoint(eager=True)
@@ -2126,6 +2128,26 @@ keepd AS (
   SELECT i.* FROM incd i LEFT JOIN comp c USING (doc_id)
   WHERE coalesce(c.component, i.doc_id) = i.doc_id
 ),
+sps AS (
+  SELECT doc_id, ord AS span_idx,
+         array_to_string(list_slice(toks, ord*16+1, ord*16+16), ' ') AS span
+  FROM (SELECT doc_id, toks,
+               unnest(range(0, ((len(toks)-1)//16)+1)) AS ord
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)),'\\s+') AS toks
+              FROM keepd))
+),
+spk AS (
+  SELECT doc_id, span_idx, span FROM sps
+  QUALIFY row_number() OVER (PARTITION BY span
+                             ORDER BY doc_id, span_idx) = 1
+),
+spd AS (
+  SELECT k.doc_id, string_agg(s.span, ' ' ORDER BY s.span_idx) AS text,
+         k.source, k.lang
+  FROM keepd k JOIN spk s USING (doc_id)
+  GROUP BY k.doc_id, k.source, k.lang
+),
 evg AS (
   SELECT doc_id AS eval_id,
     list_distinct(list_transform(
@@ -2142,7 +2164,7 @@ kg AS (
       i -> string_split_regex(trim(lower(text)),'\\s+')[i] || ' ' ||
            string_split_regex(trim(lower(text)),'\\s+')[i+1] || ' ' ||
            string_split_regex(trim(lower(text)),'\\s+')[i+2])) AS grams
-  FROM keepd
+  FROM spd
 ),
 contaminated AS (
   SELECT DISTINCT k.doc_id
@@ -2150,7 +2172,7 @@ contaminated AS (
   WHERE len(list_filter(k.grams, x -> list_contains(e.egrams, x))) >= 8
 ),
 decd AS (
-  SELECT * FROM keepd
+  SELECT * FROM spd
   WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 ),
 samp AS (
@@ -2167,9 +2189,10 @@ FROM (
   UNION ALL SELECT 2, 'exact', count(*) FROM exd
   UNION ALL SELECT 3, 'incremental', count(*) FROM incd
   UNION ALL SELECT 4, 'near_dup', count(*) FROM keepd
-  UNION ALL SELECT 5, 'decontaminated', count(*) FROM decd
-  UNION ALL SELECT 6, 'sampled', count(*) FROM samp
-  UNION ALL SELECT 7, 'packed', count(*) FROM samp
+  UNION ALL SELECT 5, 'span_dedup', count(*) FROM spd
+  UNION ALL SELECT 6, 'decontaminated', count(*) FROM decd
+  UNION ALL SELECT 7, 'sampled', count(*) FROM samp
+  UNION ALL SELECT 8, 'packed', count(*) FROM samp
 ) ORDER BY stage_idx
 """
 
@@ -2367,6 +2390,79 @@ FROM s ORDER BY doc_id, chunk_idx
 """
 
 
+def q_dedup_spans(spark, sf_dir):
+    """C4-style GLOBAL span dedup: drop every repeat of any 16-token span
+    corpus-wide (first (doc_id, span_idx) occurrence wins, within-doc
+    repeats included), reassemble docs from survivors. Two corpus
+    exchanges — span-text hash-agg with map-side struct-min combine, then
+    regroup by doc — the entropy floor for a global span meet
+    (operators/dedup.py:dedup_spans)."""
+    from nlnieuwscrawler_spark.operators.dedup import dedup_spans
+
+    d = load(spark, sf_dir, "documents")
+    return dedup_spans(d, span=16).orderBy("doc_id")
+
+
+ORACLE_DEDUP_SPANS = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)),'\\s+') AS toks
+  FROM documents WHERE len(trim(text)) > 0
+),
+s AS (
+  SELECT doc_id, ord AS span_idx,
+         array_to_string(list_slice(toks, ord*16+1, ord*16+16), ' ') AS span
+  FROM (SELECT doc_id, toks,
+               unnest(range(0, ((len(toks)-1)//16)+1)) AS ord FROM d)
+),
+k AS (
+  SELECT doc_id, span_idx, span FROM s
+  QUALIFY row_number() OVER (PARTITION BY span
+                             ORDER BY doc_id, span_idx) = 1
+),
+r AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(span, ' ' ORDER BY span_idx) AS txt
+  FROM k GROUP BY doc_id
+)
+SELECT d.doc_id,
+       (((len(d.toks)-1)//16)+1)::BIGINT AS n_spans,
+       coalesce(r.n_kept, 0)::BIGINT AS n_spans_kept,
+       coalesce(r.txt, '') AS text_dedup
+FROM d LEFT JOIN r ON d.doc_id = r.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_importance_sample(spark, sf_dir):
+    """Deterministic quality-weighted Bernoulli sampling (corpus mixing):
+    keep probability from a length proxy, md5-derived uniform draw, no
+    RNG; survivors carry the 1/p inverse-propensity weight. Zero-shuffle
+    projection + filter (operators/sampling.py:importance_sample)."""
+    from nlnieuwscrawler_spark.operators.sampling import importance_sample
+
+    d = load(spark, sf_dir, "documents")
+    w = F.col("n_chars").cast("double") / F.lit(500.0)
+    return (
+        importance_sample(d, w)
+        .select("doc_id", "source", "keep_prob", "sample_weight")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_IMPORTANCE_SAMPLE = """
+WITH p AS (
+  SELECT doc_id, source,
+         least(greatest(n_chars / 500.0, 0.0), 1.0) AS keep_prob,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+           / 4294967296.0 AS draw
+  FROM documents
+)
+SELECT doc_id, source, keep_prob, round(1.0 / keep_prob, 6) AS sample_weight
+FROM p WHERE draw < keep_prob
+ORDER BY doc_id
+"""
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus top-40 vocabulary (tokenizer-prep): occurrence + doc
     frequency from one (doc, token) shuffle, distributed top-k."""
@@ -2534,8 +2630,13 @@ ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 20
 #     json_props, pivot_status, left_outer_join, percentiles,
 #     ntile_buckets, map_props, unpivot (hash-green in every round
 #     since r1/r2); unpivot's seat goes to the new curate_pipeline
-#     composite (end-to-end curation audit, composed CTE oracle).
-#     Round 6 should cycle the 13 currently-out queries back in.
+#     composite (end-to-end curation audit, composed CTE oracle), and
+#     two further r5 newcomers take text_quality's and token_stats'
+#     seats (both r1-green): dedup_spans (C4-style global span dedup)
+#     and importance_sample (weighted deterministic sampling) — new
+#     queries go straight into the window so no newcomer ever waits a
+#     round for driver coverage.
+#     Round 6 should cycle the 16 currently-out queries back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -2547,7 +2648,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_latest_event": q_asof_latest_event,
     "asof_join_left": q_asof_join_left,
     "dedup_exact": q_dedup_exact,
-    "text_quality": q_text_quality,
+    "dedup_spans": q_dedup_spans,
     "lang_gate": q_lang_gate,
     "grouping_sets": q_grouping_sets,
     "range_join": q_range_join,
@@ -2563,7 +2664,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce": q_ann_bruteforce,
     "cosine_neardup": q_cosine_neardup,
     "lang_id": q_lang_id,
-    "token_stats": q_token_stats,
+    "importance_sample": q_importance_sample,
     "quality_scores": q_quality_scores,
     "session_stats": q_session_stats,
     "sliding_window": q_sliding_window,
@@ -2603,6 +2704,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_per_year": q_orders_per_year,
     "array_stats": q_array_stats,
     "range_frame": q_range_frame,
+    "text_quality": q_text_quality,
+    "token_stats": q_token_stats,
     # --- NO_ORACLE (rows-only) entries LAST (see window policy above)
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -2689,4 +2792,6 @@ ORACLE: dict[str, str] = {
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "tfidf_topk": ORACLE_TFIDF,
     "pmi_bigrams": ORACLE_PMI,
+    "dedup_spans": ORACLE_DEDUP_SPANS,
+    "importance_sample": ORACLE_IMPORTANCE_SAMPLE,
 }

@@ -172,6 +172,19 @@ def main() -> None:
         "dedup_incremental",
         dedup_incremental(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0), seen),
     )
+    # round-5 ops: C4-style global span dedup (two corpus exchanges — the
+    # shape most sensitive to scale) and the zero-shuffle weighted sampler
+    from nlnieuwscrawler_spark.operators.dedup import dedup_spans
+    from nlnieuwscrawler_spark.operators.sampling import importance_sample
+
+    run("dedup_spans", dedup_spans(docs, span=16), checksum=True)
+    run(
+        "importance_sample",
+        importance_sample(docs, F.lit(0.35)).select(
+            "doc_id", "keep_prob", "sample_weight"
+        ),
+        checksum=True,
+    )
 
     # VERDICT r4 #6: the end-to-end curate() composite as ONE measured run
     # (minhash mode — the 100 TB path), audit included

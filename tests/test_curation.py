@@ -161,7 +161,8 @@ def test_curate_composite_stage_audit(spark):
             res.stage_counts.orderBy("stage_idx").collect()] == STAGES
     assert counts == {
         "input": 8, "quality": 7, "exact": 6, "incremental": 5,
-        "near_dup": 4, "decontaminated": 3, "sampled": 3, "packed": 3,
+        "near_dup": 4, "span_dedup": 4, "decontaminated": 3,
+        "sampled": 3, "packed": 3,
     }, counts
     kept = {r["doc_id"] for r in res.curated.collect()}
     assert kept == {1, 7, 8}
@@ -204,4 +205,32 @@ def test_curate_quota_caps_sources(spark):
     assert counts["sampled"] == 10  # 5 per source x 2 sources
     per = (res.curated.groupBy("source").count().collect())
     assert {r["source"]: r["count"] for r in per} == {"web": 5, "news": 5}
+    res.unpersist()
+
+
+def test_curate_span_dedup_stage(spark):
+    """With span_dedup on: a doc whose every span was seen earlier drops
+    out at the span stage; a doc sharing only SOME spans survives with
+    its text rebuilt from the surviving spans only."""
+    from nlnieuwscrawler_spark.operators.curate import curate
+
+    def words(prefix, n):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    A, B, C = (words(p, 4) for p in "abc")
+    filler = ("the a de het een en and of " + words("w", 4))  # gopher-passing
+    rows = [
+        (1, f"{filler} {A} {B}", "nl", "web"),
+        (2, f"{filler} {A} {C}", "nl", "web"),   # filler+A dropped, C kept
+        (3, f"{B} {A} {filler}", "nl", "web"),   # nothing new -> dropped
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    res = curate(docs, near_dup=None, span_dedup=4, quota=10, salt=2)
+    counts = {r["stage"]: r["rows_kept"] for r in res.stage_counts.collect()}
+    assert counts["near_dup"] == 3 and counts["span_dedup"] == 2
+    assert counts["sampled"] == 2
+    texts = {r["doc_id"]: r["text"] for r in res.curated.collect()}
+    assert texts[1] == f"{filler} {A} {B}"
+    assert texts[2] == C  # only the genuinely-new span survives
     res.unpersist()

@@ -216,3 +216,105 @@ def test_stratified_sample_exchanges_are_narrow(spark, docs):
         inputs = [l for l in b.splitlines() if l.startswith("Input")]
         assert inputs, b
         assert "text#" not in inputs[0], b
+
+
+# -- span-level global dedup (C4-style) -------------------------------------
+
+
+def test_dedup_spans_planted(spark):
+    from nlnieuwscrawler_spark.operators.dedup import dedup_spans
+
+    def words(prefix, n):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    A, B, C, D = (words(p, 4) for p in "abcd")
+    rows = [
+        (1, f"{A} {B}"),          # both spans first occurrences
+        (2, f"{A} {C}"),          # A is a repeat of doc 1's -> dropped
+        (3, f"{B} {A}"),          # every span already seen -> empty
+        (4, f"{D} {D}"),          # within-doc repeat: 2nd D dropped
+        (5, "   "),               # whitespace-only: no tokens, no row
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup_spans(df, span=4).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1]["n_spans"], out[1]["n_spans_kept"]) == (2, 2)
+    assert out[1]["text_dedup"] == f"{A} {B}"
+    assert (out[2]["n_spans"], out[2]["n_spans_kept"]) == (2, 1)
+    assert out[2]["text_dedup"] == C
+    assert (out[3]["n_spans"], out[3]["n_spans_kept"]) == (2, 0)
+    assert out[3]["text_dedup"] == ""
+    assert (out[4]["n_spans"], out[4]["n_spans_kept"]) == (2, 1)
+    assert out[4]["text_dedup"] == D
+
+
+def test_dedup_spans_first_occurrence_is_global_and_deterministic(spark, docs):
+    """Survivor set is invariant under repartitioning, and total kept
+    spans == count of DISTINCT spans that appear anywhere (each distinct
+    span survives exactly once, corpus-wide)."""
+    from nlnieuwscrawler_spark.operators.dedup import dedup_spans
+
+    a = dedup_spans(docs, span=8).orderBy("doc_id").collect()
+    b = (
+        dedup_spans(docs.repartition(13, "source"), span=8)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b
+    kept_total = sum(r["n_spans_kept"] for r in a)
+    from nlnieuwscrawler_spark.functions.text import tokens_col_text
+
+    toks = tokens_col_text(F.col("text"))
+    distinct_spans = (
+        docs.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks), F.lit(8)),
+                    lambda s: F.concat_ws(" ", F.slice(toks, s, 8)),
+                )
+            ).alias("span")
+        )
+        .distinct()
+        .count()
+    )
+    assert kept_total == distinct_spans
+
+
+# -- deterministic weighted sampling ----------------------------------------
+
+
+def test_importance_sample_edge_weights_and_clamp(spark, docs):
+    from nlnieuwscrawler_spark.operators.sampling import importance_sample
+
+    n = docs.count()
+    all_kept = importance_sample(docs, F.lit(1.0))
+    assert all_kept.count() == n
+    assert all_kept.select("sample_weight").distinct().collect()[0][0] == 1.0
+    assert importance_sample(docs, F.lit(0.0)).count() == 0
+    # clamp: weight 2.0 behaves as 1.0
+    clamped = importance_sample(docs, F.lit(2.0))
+    assert clamped.count() == n
+    assert clamped.select("keep_prob").distinct().collect()[0][0] == 1.0
+
+
+def test_importance_sample_matches_manual_md5_draw(spark, docs):
+    import hashlib
+
+    from nlnieuwscrawler_spark.operators.sampling import importance_sample
+
+    p = 0.35
+    kept = {
+        r["doc_id"]
+        for r in importance_sample(docs, F.lit(p)).select("doc_id").collect()
+    }
+    expect = set()
+    for r in docs.select("doc_id").collect():
+        h = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8]
+        if int(h, 16) / 2**32 < p:
+            expect.add(r["doc_id"])
+    assert kept == expect
+    # sane acceptance rate on the uniform draw (binomial, n=500)
+    assert abs(len(kept) / docs.count() - p) < 0.08
