@@ -198,8 +198,13 @@ def curate(
         )
         # text is REPLACED by the rebuild (lowered tokens, single-space
         # joined — the tokenizer's canonical form, so downstream gram /
-        # token stages see identical tokens); all other columns ride along
-        spand = keepd.drop(text_col).join(rebuilt, id_col)
+        # token stages see identical tokens); all other columns ride along.
+        # Persisted: the span hash-agg chain is referenced by
+        # decontamination, the downstream join AND the audit count —
+        # uncached it re-evaluates per consumer (measured: +10 s on the
+        # sf0.1 composite)
+        spand = keepd.drop(text_col).join(rebuilt, id_col).persist()
+        cached.append(spand)
     else:
         spand = keepd
 

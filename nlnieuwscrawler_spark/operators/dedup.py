@@ -44,7 +44,15 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     toks = tokens_col(text)
 
     def build(tk: Column) -> Column:
-        idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(0)))
+        # guard, not greatest(...): sequence(1, 0) infers step -1 and
+        # yields [1, 0], whose 0 start crashes slice() — docs with fewer
+        # than n tokens must produce NO grams (matches the DuckDB
+        # oracles' range(1, len-n+1)), surfaced by span-reduced docs in
+        # curate() at sf0.1
+        idx = F.when(
+            F.size(tk) >= n,
+            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
         return F.array_distinct(
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
         )

@@ -234,3 +234,22 @@ def test_curate_span_dedup_stage(spark):
     assert texts[1] == f"{filler} {A} {B}"
     assert texts[2] == C  # only the genuinely-new span survives
     res.unpersist()
+
+
+def test_word_ngrams_short_docs_yield_no_grams(spark):
+    """sf0.1 regression: docs with fewer than n tokens (span-reduced docs
+    hit this inside curate) must yield an EMPTY gram array — the naive
+    sequence(1, 0) yields [1, 0] (inferred step -1) and slice(0) throws."""
+    from nlnieuwscrawler_spark.operators.dedup import decontaminate, word_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a"), (3, "a b c d")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["g"] for r in
+           df.select("doc_id", word_ngrams(F.col("text"), 3).alias("g"))
+           .collect()}
+    assert out[1] == [] and out[2] == []
+    assert out[3] == ["a b c", "b c d"]
+    ev = spark.createDataFrame([(9, "a b c d e f g h i")],
+                               ["eval_id", "text"])
+    # decontaminate over short docs must run, and short docs can't overlap
+    assert decontaminate(df, ev, min_overlap=2).count() == 1  # only doc 3
