@@ -484,3 +484,131 @@ def split_bucket(id_col):
         .when(h <= "d", F.lit("val"))
         .otherwise(F.lit("test"))
     )
+
+
+# --------------------------------------------------------------------------
+# bigram language-model fluency score (CCNet-style LM filtering)
+# --------------------------------------------------------------------------
+
+def lm_bigram_score(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc average negative log-likelihood under the corpus's own
+    bigram MLE language model — the CCNet-style "LM perplexity" quality
+    signal (high avg-NLL ≈ disfluent/boilerplate/garbled text), trained
+    and applied in ONE pass over the corpus, no external model.
+
+    p(b|a) = c(a,b) / c(a) over the shared whitespace tokenizer;
+    score(doc) = -mean(ln p) over the doc's bigrams (0.0 / 0 bigrams for
+    docs with < 2 tokens). Engine-portable exactness: each bigram's NLL
+    is rounded to 9 dp FIRST (absorbs any ulp drift between Math.log and
+    libm), the per-doc accumulation then sums ``multiplicity × nll``
+    cast to DECIMAL(28,9) — exact and associative, so Spark's partial/
+    final partition-order summation and DuckDB's sequential summation
+    agree bit-for-bit — and only the final mean is rounded to 6 dp.
+
+    100 TB shape: two map-side-combined count aggs build the model (the
+    bigram table is bounded by distinct bigrams, not corpus size); the
+    scoring join runs per-(doc, bigram) GROUPS (multiplicity collapsed
+    first — the join input is distinct doc-bigrams, not token positions)
+    keyed on the (a, b) equi-join; one final agg by doc. Everything is
+    bucketed equi-joins and linear aggregations; docs never carry text
+    past tokenization.
+    """
+    tokd = df.select(
+        id_col, tokens_col_text(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+    n2 = F.greatest(F.size(toks) - 1, F.lit(0))
+    # lazy when-guard: sequence(1, 0) would yield [1, 0] (step -1)
+    bigr = F.when(
+        n2 > 0,
+        F.transform(
+            F.sequence(F.lit(1), n2),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("a"),
+                F.element_at(toks, i + 1).alias("b"),
+            ),
+        ),
+    )
+    big = tokd.select(id_col, F.explode(bigr).alias("__bg")).select(
+        id_col, F.col("__bg.a").alias("a"), F.col("__bg.b").alias("b")
+    )
+    cab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = big.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    probs = cab.join(ca, "a").select(
+        "a",
+        "b",
+        F.round(
+            -F.log(F.col("c_ab").cast("double") / F.col("c_a")), 9
+        ).alias("__nll"),
+    )
+    mult = big.groupBy(id_col, "a", "b").agg(F.count(F.lit(1)).alias("__m"))
+    # int × DECIMAL(20,9): the 9-dp NLL becomes an exact decimal BEFORE
+    # the multiply, so every product and the sum are exact/associative in
+    # both engines (double-summing would be partition-order dependent)
+    scored = (
+        mult.join(probs, ["a", "b"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("__m").cast("long").alias("n_bigrams"),
+            # Tight operand types: decimal(10,0) × decimal(11,9) →
+            # decimal(22,9), exact. A LONG operand would promote to
+            # decimal(20,0) and push the product past precision 38, where
+            # Spark's allowPrecisionLoss silently TRUNCATES the scale to 6
+            # (measured: sum 106.016886243 became 106.016886).
+            # NO final round: the decimal sum is order-independent, so
+            # sum→double→÷count is bit-identical in both engines —
+            # rounding the quotient would re-introduce engine divergence
+            # on exact .xxxxxx5 ties (measured: 22/500 docs at 6 dp)
+            (
+                F.sum(
+                    F.col("__m").cast("decimal(10,0)")
+                    * F.col("__nll").cast("decimal(11,9)")
+                ).cast("double")
+                / F.sum("__m")
+            ).alias("avg_nll"),
+        )
+    )
+    base = tokd.filter(F.size(toks) > 0).select(id_col)
+    return base.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("avg_nll", F.lit(0.0)).alias("avg_nll"),
+    )
+
+
+def source_quality_rollup(df, text_col: str = "text", id_col: str = "doc_id",
+                          strata_col: str = "source"):
+    """Per-source curation report: doc count, Gopher pass rate, mean
+    token count, mean word length — the table a data team reads to decide
+    which sources to keep, re-crawl, or down-weight.
+
+    Exact cross-engine floats: pass counts and token totals are integer
+    sums (exact); mean word length sums the per-doc DECIMAL(20,4) values
+    (gopher's per-doc rounding) exactly before one final division +
+    round. One narrow id join (quality metrics ← source) and one agg
+    shuffle keyed by source; ~100 output rows at any corpus size.
+    """
+    g = gopher_quality(df, text_col=text_col, id_col=id_col)
+    src = df.select(id_col, strata_col)
+    return (
+        g.join(src, id_col)
+        .groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("passes").cast("long")).cast("long").alias("n_passed"),
+            F.round(
+                F.sum(F.col("passes").cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pass_rate"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_tokens"),
+            F.round(
+                F.sum(F.col("mean_word_len").cast("decimal(20,4)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_word_len"),
+        )
+    )

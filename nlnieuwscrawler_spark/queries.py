@@ -2463,6 +2463,92 @@ ORDER BY doc_id
 """
 
 
+def q_lm_bigram_score(spark, sf_dir):
+    """CCNet-style LM quality signal: per-doc average negative log-
+    likelihood under the corpus's own bigram MLE model, trained + applied
+    in one pass — two count aggs build the model, a (a,b)-keyed equi-join
+    scores distinct doc-bigrams, decimal-exact accumulation
+    (functions/text.py:lm_bigram_score)."""
+    from nlnieuwscrawler_spark.functions.text import lm_bigram_score
+
+    d = load(spark, sf_dir, "documents")
+    return lm_bigram_score(d).orderBy("doc_id")
+
+
+ORACLE_LM_BIGRAM = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)),'\\s+') AS toks
+  FROM documents WHERE len(trim(text)) > 0
+),
+bg AS (
+  SELECT doc_id, toks[i] AS a, toks[i+1] AS b
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks)-1,0)+1)) AS i FROM d)
+),
+cab AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+ca AS (SELECT a, count(*) AS c_a FROM bg GROUP BY a),
+p AS (
+  SELECT a, b, round(-ln(c_ab / c_a), 9)::DECIMAL(20,9) AS nll
+  FROM cab JOIN ca USING (a)
+),
+m AS (SELECT doc_id, a, b, count(*) AS mult FROM bg GROUP BY doc_id, a, b),
+s AS (
+  SELECT m.doc_id, sum(m.mult)::BIGINT AS n_bigrams,
+         (sum(m.mult * p.nll))::DOUBLE / sum(m.mult) AS avg_nll
+  FROM m JOIN p USING (a, b) GROUP BY m.doc_id
+)
+SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(s.avg_nll, 0.0) AS avg_nll
+FROM d LEFT JOIN s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_source_quality(spark, sf_dir):
+    """Per-source curation report (docs, Gopher pass rate, mean tokens /
+    word length) — the keep/re-crawl/down-weight decision table; one id
+    join + one agg by source (functions/text.py:source_quality_rollup)."""
+    from nlnieuwscrawler_spark.functions.text import source_quality_rollup
+
+    d = load(spark, sf_dir, "documents")
+    return source_quality_rollup(d).orderBy("source")
+
+
+ORACLE_SOURCE_QUALITY = """
+WITH g AS (
+  SELECT doc_id, source,
+    CASE WHEN len(trim(text)) > 0
+         THEN string_split_regex(trim(lower(text)),'\\s+')
+         ELSE []::VARCHAR[] END AS toks,
+    len(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) AS chars
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source, len(toks) AS n,
+    CASE WHEN len(toks) > 0 THEN round(chars::DOUBLE / len(toks), 4)
+         ELSE 0.0 END AS mwl,
+    len(list_filter(list_distinct(toks),
+        x -> list_contains(['the','a','de','het','een','en','and','of'], x)))
+      AS sh,
+    CASE WHEN len(toks) > 0
+         THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 1.0 END AS dr
+  FROM g
+),
+p AS (
+  SELECT source, n, mwl,
+         (n >= 10 AND n <= 100000 AND mwl >= 2.0 AND mwl <= 12.0
+          AND sh >= 2 AND dr >= 0.1) AS passes
+  FROM m
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(passes::INT)::BIGINT AS n_passed,
+       round(sum(passes::INT)::DOUBLE / count(*), 6) AS pass_rate,
+       round(sum(n)::DOUBLE / count(*), 6) AS avg_tokens,
+       round((sum(mwl::DECIMAL(20,4)))::DOUBLE / count(*), 6) AS avg_word_len
+FROM p GROUP BY source ORDER BY source
+"""
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus top-40 vocabulary (tokenizer-prep): occurrence + doc
     frequency from one (doc, token) shuffle, distributed top-k."""
@@ -2631,12 +2717,14 @@ ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 20
 #     ntile_buckets, map_props, unpivot (hash-green in every round
 #     since r1/r2); unpivot's seat goes to the new curate_pipeline
 #     composite (end-to-end curation audit, composed CTE oracle), and
-#     two further r5 newcomers take text_quality's and token_stats'
-#     seats (both r1-green): dedup_spans (C4-style global span dedup)
-#     and importance_sample (weighted deterministic sampling) — new
-#     queries go straight into the window so no newcomer ever waits a
-#     round for driver coverage.
-#     Round 6 should cycle the 16 currently-out queries back in.
+#     four further r5 newcomers take the seats of text_quality,
+#     token_stats, lang_gate and sliding_window (all r1-green):
+#     dedup_spans (C4-style global span dedup), importance_sample
+#     (weighted deterministic sampling), lm_bigram_score (CCNet-style
+#     bigram-LM fluency score) and source_quality (per-source curation
+#     rollup) — new queries go straight into the window so no newcomer
+#     ever waits a round for driver coverage.
+#     Round 6 should cycle the 18 currently-out queries back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -2649,7 +2737,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_left": q_asof_join_left,
     "dedup_exact": q_dedup_exact,
     "dedup_spans": q_dedup_spans,
-    "lang_gate": q_lang_gate,
+    "lm_bigram_score": q_lm_bigram_score,
     "grouping_sets": q_grouping_sets,
     "range_join": q_range_join,
     "udtf_tokens": q_udtf_tokens,
@@ -2667,7 +2755,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "importance_sample": q_importance_sample,
     "quality_scores": q_quality_scores,
     "session_stats": q_session_stats,
-    "sliding_window": q_sliding_window,
+    "source_quality": q_source_quality,
     "stream_hourly": q_stream_hourly,
     "stream_dedup_users": q_stream_dedup_users,
     "stateful_budget": q_stateful_budget,
@@ -2706,6 +2794,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_frame": q_range_frame,
     "text_quality": q_text_quality,
     "token_stats": q_token_stats,
+    "lang_gate": q_lang_gate,
+    "sliding_window": q_sliding_window,
     # --- NO_ORACLE (rows-only) entries LAST (see window policy above)
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -2794,4 +2884,6 @@ ORACLE: dict[str, str] = {
     "pmi_bigrams": ORACLE_PMI,
     "dedup_spans": ORACLE_DEDUP_SPANS,
     "importance_sample": ORACLE_IMPORTANCE_SAMPLE,
+    "lm_bigram_score": ORACLE_LM_BIGRAM,
+    "source_quality": ORACLE_SOURCE_QUALITY,
 }

@@ -253,3 +253,43 @@ def test_word_ngrams_short_docs_yield_no_grams(spark):
                                ["eval_id", "text"])
     # decontaminate over short docs must run, and short docs can't overlap
     assert decontaminate(df, ev, min_overlap=2).count() == 1  # only doc 3
+
+
+def test_lm_bigram_score_manual_model(spark):
+    """Tiny corpus with a hand-computed bigram MLE: p(b|a)=2/3, p(a|b)=1,
+    p(c|a)=1/3; per-doc avg NLL matches the closed form; docs with < 2
+    tokens score (0, 0.0); output invariant under repartitioning."""
+    import math
+
+    from nlnieuwscrawler_spark.functions.text import lm_bigram_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "solo"), (4, "  ")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in lm_bigram_score(docs).collect()}
+    assert set(out) == {1, 2, 3}  # whitespace-only doc drops
+    nll = lambda p: round(-math.log(p), 9)
+    exp1 = (2 * nll(2 / 3) + 1 * nll(1.0)) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["avg_nll"] - exp1) < 1e-9
+    assert out[2]["n_bigrams"] == 1
+    assert abs(out[2]["avg_nll"] - nll(1 / 3)) < 1e-9
+    assert out[3]["n_bigrams"] == 0 and out[3]["avg_nll"] == 0.0
+    again = {r["doc_id"]: r["avg_nll"]
+             for r in lm_bigram_score(docs.repartition(7)).collect()}
+    assert all(again[k] == out[k]["avg_nll"] for k in again)
+
+
+def test_source_quality_rollup(spark):
+    from nlnieuwscrawler_spark.functions.text import source_quality_rollup
+
+    good = "the quick brown fox jumps over a lazy dog and then some more"
+    docs = spark.createDataFrame(
+        [(1, good, "web"), (2, "short text", "web"),
+         (3, good + " extra", "news")],
+        ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in source_quality_rollup(docs).collect()}
+    assert out["web"]["n_docs"] == 2 and out["web"]["n_passed"] == 1
+    assert out["web"]["pass_rate"] == 0.5
+    assert out["news"]["n_docs"] == 1 and out["news"]["pass_rate"] == 1.0
+    assert out["web"]["avg_tokens"] == (13 + 2) / 2
