@@ -185,6 +185,13 @@ def main() -> None:
         ),
         checksum=True,
     )
+    from nlnieuwscrawler_spark.functions.text import (
+        lm_bigram_score,
+        source_quality_rollup,
+    )
+
+    run("lm_bigram_score", lm_bigram_score(docs), checksum=True)
+    run("source_quality", source_quality_rollup(docs))
 
     # VERDICT r4 #6: the end-to-end curate() composite as ONE measured run
     # (minhash mode — the 100 TB path), audit included

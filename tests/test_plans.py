@@ -185,3 +185,34 @@ def test_fetch_index_not_reexchanged(spark, tiny_pages_df):
             cc.unpersist()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_dedup_spans_plan_shape(spark):
+    """dedup_spans is exactly the two corpus exchanges it claims (span
+    hash-agg + regroup by doc) plus a BROADCAST of the narrow counts side
+    for the join-back — no BNLJ, no extra ENSURE_REQUIREMENTS shuffle of
+    the rebuilt corpus."""
+    from nlnieuwscrawler_spark.operators.dedup import dedup_spans
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dedup_spans(d, span=16)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    n_bcast = plan.count("Exchange HashedRelationBroadcastMode")
+    assert n_shuffles == 2, plan
+    assert n_bcast == 1, plan
+
+
+def test_lm_bigram_score_plan_no_bnlj(spark):
+    """The LM build + scoring is all equi-joins and hash aggregations —
+    never a nested-loop join, regardless of AQE's broadcast choices."""
+    from nlnieuwscrawler_spark.functions.text import lm_bigram_score
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = lm_bigram_score(d)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
