@@ -612,3 +612,54 @@ def source_quality_rollup(df, text_col: str = "text", id_col: str = "doc_id",
             ).alias("avg_word_len"),
         )
     )
+
+
+def source_token_drift(df, text_col: str = "text", id_col: str = "doc_id",
+                       strata_col: str = "source"):
+    """Per-source KL divergence of the source's token distribution from
+    the corpus-wide distribution — the drift detector that flags a source
+    whose language suddenly shifts (spam injection, template change,
+    encoding breakage) without any labels.
+
+    KL(source ‖ corpus) = Σ_t p_s(t) · ln(p_s(t) / p(t)) over the shared
+    whitespace tokenizer, summed over the tokens the source actually
+    contains (p_s(t) > 0 ⇒ p(t) > 0, so every term is defined; KL = 0
+    iff the source's distribution equals the corpus's restricted to its
+    support). Engine-portable exactness, same recipe as
+    :func:`lm_bigram_score`: each token's term is computed in IEEE
+    doubles identically on both engines, rounded to 9 dp, cast to
+    DECIMAL(11,9) — possibly negative, hence signed — then summed
+    exactly, and the final value crosses to double with NO further
+    rounding.
+
+    100 TB shape: one (source, token) count agg (map-side combined), one
+    token-level corpus agg (vocab-bounded), a token-keyed equi-join of
+    the two (broadcast when the vocab fits, shuffled hash otherwise), and
+    a final ~|sources|-row agg. Text never survives tokenization.
+    """
+    toks = tokens_col_text(F.col(text_col))
+    tok = df.select(strata_col, F.explode(toks).alias("__tok"))
+    st = tok.groupBy(strata_col, "__tok").agg(F.count(F.lit(1)).alias("c_st"))
+    s_tot = st.groupBy(strata_col).agg(
+        F.sum("c_st").alias("n_s"), F.count(F.lit(1)).alias("d_s")
+    )
+    corpus = st.groupBy("__tok").agg(F.sum("c_st").alias("c_t"))
+    n_total = st.agg(F.sum("c_st")).collect()[0][0]
+    term = F.round(
+        (F.col("c_st").cast("double") / F.col("n_s"))
+        * F.log(
+            (F.col("c_st").cast("double") * F.lit(float(n_total)))
+            / (F.col("n_s").cast("double") * F.col("c_t"))
+        ),
+        9,
+    ).cast("decimal(11,9)")
+    return (
+        st.join(corpus, "__tok")
+        .join(s_tot, strata_col)
+        .groupBy(strata_col)
+        .agg(
+            F.min("n_s").cast("long").alias("n_tokens"),
+            F.min("d_s").cast("long").alias("n_distinct"),
+            F.sum(term).cast("double").alias("kl_corpus"),
+        )
+    )

@@ -2549,6 +2549,44 @@ FROM p GROUP BY source ORDER BY source
 """
 
 
+def q_source_token_drift(spark, sf_dir):
+    """Per-source KL divergence of token distribution vs the corpus —
+    the unlabeled drift detector (spam injection / template change /
+    encoding breakage shifts a source's language). Vocab-bounded count
+    aggs + one token-keyed join; decimal-exact signed accumulation
+    (functions/text.py:source_token_drift)."""
+    from nlnieuwscrawler_spark.functions.text import source_token_drift
+
+    d = load(spark, sf_dir, "documents")
+    return source_token_drift(d).orderBy("source")
+
+
+ORACLE_SOURCE_TOKEN_DRIFT = """
+WITH t AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)),'\\s+')) AS tok
+  FROM documents WHERE len(trim(text)) > 0
+),
+st AS (SELECT source, tok, count(*) AS c_st FROM t GROUP BY source, tok),
+stot AS (SELECT source, sum(c_st) AS n_s, count(*) AS d_s
+         FROM st GROUP BY source),
+corpus AS (SELECT tok, sum(c_st) AS c_t FROM st GROUP BY tok),
+n AS (SELECT sum(c_st)::DOUBLE AS n_total FROM st),
+terms AS (
+  SELECT st.source, stot.n_s, stot.d_s,
+    round((st.c_st::DOUBLE / stot.n_s)
+          * ln((st.c_st::DOUBLE * n.n_total)
+               / (stot.n_s::DOUBLE * corpus.c_t)), 9)::DECIMAL(11,9) AS term
+  FROM st
+  JOIN corpus USING (tok)
+  JOIN stot USING (source)
+  CROSS JOIN n
+)
+SELECT source, min(n_s)::BIGINT AS n_tokens, min(d_s)::BIGINT AS n_distinct,
+       (sum(term))::DOUBLE AS kl_corpus
+FROM terms GROUP BY source ORDER BY source
+"""
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus top-40 vocabulary (tokenizer-prep): occurrence + doc
     frequency from one (doc, token) shuffle, distributed top-k."""
@@ -2721,10 +2759,12 @@ ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 20
 #     token_stats, lang_gate and sliding_window (all r1-green):
 #     dedup_spans (C4-style global span dedup), importance_sample
 #     (weighted deterministic sampling), lm_bigram_score (CCNet-style
-#     bigram-LM fluency score) and source_quality (per-source curation
-#     rollup) — new queries go straight into the window so no newcomer
-#     ever waits a round for driver coverage.
-#     Round 6 should cycle the 18 currently-out queries back in.
+#     bigram-LM fluency score), source_quality (per-source curation
+#     rollup) and source_token_drift (per-source KL drift vs corpus;
+#     quality_scores took the fifth out-seat) — new queries go straight
+#     into the window so no newcomer ever waits a round for driver
+#     coverage.
+#     Round 6 should cycle the 19 currently-out queries back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -2753,7 +2793,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_neardup": q_cosine_neardup,
     "lang_id": q_lang_id,
     "importance_sample": q_importance_sample,
-    "quality_scores": q_quality_scores,
+    "source_token_drift": q_source_token_drift,
     "session_stats": q_session_stats,
     "source_quality": q_source_quality,
     "stream_hourly": q_stream_hourly,
@@ -2796,6 +2836,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "lang_gate": q_lang_gate,
     "sliding_window": q_sliding_window,
+    "quality_scores": q_quality_scores,
     # --- NO_ORACLE (rows-only) entries LAST (see window policy above)
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -2886,4 +2927,5 @@ ORACLE: dict[str, str] = {
     "importance_sample": ORACLE_IMPORTANCE_SAMPLE,
     "lm_bigram_score": ORACLE_LM_BIGRAM,
     "source_quality": ORACLE_SOURCE_QUALITY,
+    "source_token_drift": ORACLE_SOURCE_TOKEN_DRIFT,
 }

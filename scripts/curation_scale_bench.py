@@ -192,6 +192,9 @@ def main() -> None:
 
     run("lm_bigram_score", lm_bigram_score(docs), checksum=True)
     run("source_quality", source_quality_rollup(docs))
+    from nlnieuwscrawler_spark.functions.text import source_token_drift
+
+    run("source_token_drift", source_token_drift(docs))
 
     # VERDICT r4 #6: the end-to-end curate() composite as ONE measured run
     # (minhash mode — the 100 TB path), audit included

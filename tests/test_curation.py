@@ -293,3 +293,31 @@ def test_source_quality_rollup(spark):
     assert out["web"]["pass_rate"] == 0.5
     assert out["news"]["n_docs"] == 1 and out["news"]["pass_rate"] == 1.0
     assert out["web"]["avg_tokens"] == (13 + 2) / 2
+
+
+def test_source_token_drift_manual_kl(spark):
+    """Single-source corpus drifts 0 exactly; a two-source split matches
+    the hand-computed KL; results invariant under repartitioning."""
+    import math
+
+    from nlnieuwscrawler_spark.functions.text import source_token_drift
+
+    one = spark.createDataFrame(
+        [(1, "a b a", "web"), (2, "b a b", "web")],
+        ["doc_id", "text", "source"])
+    out = source_token_drift(one).collect()
+    assert len(out) == 1 and out[0]["kl_corpus"] == 0.0
+    assert out[0]["n_tokens"] == 6 and out[0]["n_distinct"] == 2
+
+    two = spark.createDataFrame(
+        [(1, "a a a b", "w"), (2, "a b b b", "n")],
+        ["doc_id", "text", "source"])
+    res = {r["source"]: r["kl_corpus"] for r in source_token_drift(two).collect()}
+    # corpus: p(a)=p(b)=1/2; source w: (3/4, 1/4); n: (1/4, 3/4)
+    t1 = round(0.75 * math.log(0.75 / 0.5), 9)
+    t2 = round(0.25 * math.log(0.25 / 0.5), 9)
+    exp = t1 + t2
+    assert abs(res["w"] - exp) < 1e-12 and abs(res["n"] - exp) < 1e-12
+    again = {r["source"]: r["kl_corpus"]
+             for r in source_token_drift(two.repartition(5)).collect()}
+    assert again == res
