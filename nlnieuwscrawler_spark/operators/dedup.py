@@ -634,7 +634,12 @@ def dedup_spans(
     ``(id, n_spans)`` projection moves — requireAllClusterKeys holds).
     Span explosion itself is a zero-shuffle flatMap pipelined into the
     scan, exactly like :func:`~nlnieuwscrawler_spark.operators.sampling.
-    chunk_documents`.
+    chunk_documents`. Known trade: the narrow (id, n_spans) base for the
+    final join re-tokenizes the corpus (a second scan+split, no shuffle)
+    rather than persisting the token arrays — at web scale the extra
+    scan is cheaper and safer than caching a text-sized column; deriving
+    the counts from the span explode instead would re-evaluate that same
+    subtree, not save it.
     """
     from nlnieuwscrawler_spark.functions.text import tokens_col_text
 

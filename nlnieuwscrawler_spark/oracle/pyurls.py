@@ -50,7 +50,9 @@ def url_path(u: str) -> str:
 def url_host(u: str) -> str:
     auth = _authority(_strip_fragment(u))
     host = re.sub(r":\d*$", "", auth)
-    return re.sub(r"\.$", "", host.lower())
+    # ALL trailing dots — must track functions/urls.py:url_host exactly or
+    # the crawl-equivalence host columns diverge on 'host..' authorities
+    return re.sub(r"\.+$", "", host.lower())
 
 
 def _normalize_path(path: str) -> str:

@@ -96,7 +96,9 @@ def main() -> None:
         shuffle_partitions=2 * cores,
     )
     path = f"/tmp/nlnc_curation_docs_{n_docs}"
-    if not os.path.exists(path):
+    # _SUCCESS marker, not bare existence: a killed prior write leaves a
+    # partial directory that bare os.path.exists would silently reuse
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         gen_docs(spark, n_docs).write.mode("overwrite").parquet(path)
     docs = spark.read.parquet(path)
 
@@ -236,7 +238,7 @@ def main() -> None:
         ).alias("embedding"),
     )
     vpath = f"/tmp/nlnc_curation_vecs_{n_vecs}"
-    if not os.path.exists(vpath):
+    if not os.path.exists(os.path.join(vpath, "_SUCCESS")):
         vecs.write.mode("overwrite").parquet(vpath)
     vecs = spark.read.parquet(vpath)
     q = vecs.filter(F.col("vec_id") < 100).select(

@@ -194,3 +194,21 @@ def test_canonicalize_absolute_or_rejected_property(base, href):
         assert out.startswith(("http://", "https://"))
         assert "#" not in out
         assert pyurls.normalize_url(out) == out
+
+
+def test_url_host_twins_agree_on_trailing_dots(spark):
+    """Engine url_host and the pure-Python twin must agree on multi-
+    trailing-dot authorities (review regression: only normalize_url had
+    been updated to strip ALL trailing dots)."""
+    import pandas as pd
+
+    from nlnieuwscrawler_spark.functions import urls as U
+    from nlnieuwscrawler_spark.oracle import pyurls
+
+    cases = ["https://NU.NL./a", "https://nu.nl../a", "http://x.y.nl/a",
+             "https://a.b:8080/c", "http://.."]
+    df = spark.createDataFrame(pd.DataFrame({"u": cases}))
+    eng = {r["u"]: r["h"] for r in
+           df.select("u", U.url_host(F.col("u")).alias("h")).collect()}
+    for u in cases:
+        assert eng[u] == pyurls.url_host(u), u
