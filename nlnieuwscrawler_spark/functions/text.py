@@ -689,3 +689,88 @@ def source_token_drift(df, text_col: str = "text", id_col: str = "doc_id",
     )
     st.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing + C4-style blocklist filtering (native exprs, zero shuffle)
+# --------------------------------------------------------------------------
+
+#: Engine-portable PII patterns — restricted to syntax Java regex and RE2
+#: (DuckDB) interpret IDENTICALLY: char classes, bounded repeats, \b.
+#: No backrefs, no lookaround (RE2 has neither).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+[0-9]{1,3}[ -][0-9]{1,3}[ -][0-9]{6,9}\b"
+
+
+def pii_scrub(text: Column) -> dict[str, Column]:
+    """PII redaction for web-crawl text: emails, IPv4 addresses and
+    international phone numbers are counted then replaced by typed
+    placeholder tokens (``<EMAIL>`` / ``<IP>`` / ``<PHONE>``) — the
+    standard pre-release scrub a crawled training corpus gets (the
+    reference crawler stores raw page text; scrubbing is the publishing
+    step it leaves to the consumer).
+
+    Counts are taken on the ORIGINAL text per pattern (patterns are
+    mutually exclusive by construction: an email never parses as an IPv4,
+    a phone contains no dots), then three chained ``regexp_replace``
+    passes produce the clean text — email first so its dotted domain can
+    never be half-eaten by the IP pass. Pure per-row projection: zero
+    shuffle, whole-stage codegen, scales embarrassingly.
+    """
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), F.lit(0)))
+    n_ipv4 = F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RE), F.lit(0)))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return {
+        "n_emails": n_emails,
+        "n_ipv4": n_ipv4,
+        "n_phones": n_phones,
+        "text_clean": clean,
+    }
+
+
+def badword_stats(df, badwords: list[str], text_col: str = "text",
+                  id_col: str = "doc_id", strata_col: str = "source"):
+    """C4-style blocklist filter rolled up per source → (source, n_docs,
+    n_flagged, flag_rate, bad_occurrences): how much of each source a
+    "dirty word list" gate would drop, the number a curation team checks
+    before enabling the filter (C4 drops any page containing a listed
+    word; a >50%-flagged source usually means the LIST is wrong for that
+    source, not the source for the list).
+
+    The list is a per-task constant (C4's is ~400 entries), so membership
+    is evaluated AGAINST A LITERAL ARRAY inside codegen — occurrences via
+    ``filter(tokens, t -> array_contains(list, t))``, flagged via
+    ``arrays_overlap`` — NO explode, NO join, zero extra shuffle beyond
+    the one ~|sources|-row rollup agg. For a list too big for a literal
+    (>~10k entries) the right shape becomes explode + broadcast semi-join;
+    this implementation targets the C4-sized case.
+    """
+    toks = tokens_col_text(F.col(text_col))
+    lit = F.array(*[F.lit(w) for w in sorted(badwords)])
+    n_bad = F.size(F.filter(toks, lambda t: F.array_contains(lit, t)))
+    return (
+        df.select(
+            F.col(strata_col),
+            n_bad.alias("__nb"),
+            (n_bad > 0).cast("long").alias("__fl"),
+        )
+        .groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__fl").cast("long").alias("n_flagged"),
+            F.round(
+                F.sum("__fl").cast("double") / F.count(F.lit(1)), 6
+            ).alias("flag_rate"),
+            F.sum("__nb").cast("long").alias("bad_occurrences"),
+        )
+    )

@@ -1,0 +1,134 @@
+"""Host-graph analytics for crawl prioritization — PageRank.
+
+A frontier scheduler ranks URLs within a host by recency/depth
+(operators/politeness), but deciding WHICH HOSTS deserve crawl budget is
+a graph problem: hosts that many other hosts link to are the hubs a news
+crawler should revisit first. The reference crawler hardcodes its host
+list (Dutch news seed list); at 10^10-URL scale the host graph replaces
+the hand-curated list, and PageRank over it is the classic priority
+signal (Page et al. 1999, "The PageRank Citation Ranking" — public).
+
+Engine-portable exactness (the repo's decimal recipe): per-edge
+contributions are IEEE-double divisions rounded to 12 dp and cast to
+DECIMAL(28,12), summed EXACTLY (associative, partition-order-free), and
+each iteration's new rank is one double expression rounded to 12 dp — so
+a DuckDB oracle that unrolls the same K iterations reproduces every bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nlnieuwscrawler_spark.operators.checkpoint import cut_lineage
+
+
+def host_pagerank(
+    edges: DataFrame,
+    n_nodes: int,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 5,
+    reliable: bool = False,
+    broadcast_ranks: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a host link graph → (host, rank).
+
+    Nodes are the dense ids ``0..n_nodes-1`` (a host dictionary is built
+    upstream once — dense ids keep the rank table narrow and the dangling
+    set well-defined even for hosts that only ever appear as link
+    targets). ``edges`` is the DISTINCT (src, dst) host-level link graph.
+
+    Iteration t: every host sends rank_t/outdeg along each out-edge;
+    dangling hosts (no out-edges) spread their whole rank uniformly; then
+
+        rank_{t+1}(h) = round((1-d)/N + d*(in_sum(h) + dangling/N), 12)
+
+    FIXED ``iters`` rounds (no convergence test) so the result is a pure
+    function of (edges, N, d, iters) — the property the cross-engine
+    oracle needs, and what production crawlers do anyway (a handful of
+    power iterations is plenty for a priority signal).
+
+    100 TB shape: the rank table is |hosts| rows (~10^7 at web scale) —
+    broadcast to the edge join by default (``broadcast_ranks=False``
+    falls back to a shuffle hash join keyed by src for host cardinalities
+    past broadcast range); out-degrees are computed ONCE and persisted
+    with the edges; the only per-iteration shuffle is the groupBy(dst)
+    partial-aggregated sum, moving (dst, decimal) pairs — never the edge
+    payload. The dangling mass is a scalar per round (metadata-sized
+    collect, same pattern as dedup_components' convergence sum);
+    per-round lineage cuts stop iterative-plan blowup, ``reliable=True``
+    routes them through the durable checkpoint dir.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).distinct()
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # one persisted pass builds both reused tables
+    e = cut_lineage(e, reliable)
+    outd = cut_lineage(outd, reliable)
+
+    spark = edges.sparkSession
+    nodes = spark.range(n_nodes).select(F.col("id").alias("host"))
+    init = round(1.0 / n_nodes, 12)
+    ranks = cut_lineage(
+        nodes.select("host", F.lit(init).cast("double").alias("rank")), reliable
+    )
+
+    for _ in range(iters):
+        new = _pagerank_step(
+            e, outd, nodes, ranks, n_nodes, damping, broadcast_ranks
+        )
+        ranks = cut_lineage(new, reliable)
+    return ranks
+
+
+def _pagerank_step(
+    e: DataFrame,
+    outd: DataFrame,
+    nodes: DataFrame,
+    ranks: DataFrame,
+    n_nodes: int,
+    damping: float = 0.85,
+    broadcast_ranks: bool = True,
+) -> DataFrame:
+    """One power iteration as a single (un-cut) plan — split out so plan
+    tests can pin its shape: rank/outdeg joins broadcast, the ONLY
+    exchange the (dst, decimal) partial-aggregated sum."""
+    base = (1.0 - damping) / n_nodes  # same IEEE fold the oracle performs
+    # dangling mass: ranks of hosts with no out-edges, summed exactly
+    dm_row = (
+        ranks.join(outd, ranks["host"] == outd["src"], "left_anti")
+        .agg(F.sum(F.col("rank").cast("decimal(28,12)")).alias("s"))
+        .collect()[0]["s"]
+    )
+    dm = float(dm_row) if dm_row is not None else 0.0
+    r = F.broadcast(ranks) if broadcast_ranks else ranks
+    o = F.broadcast(outd) if broadcast_ranks else outd
+    contrib = (
+        e.join(r, e["src"] == r["host"])
+        .join(o, "src")
+        .select(
+            "dst",
+            F.round(F.col("rank") / F.col("outdeg"), 12)
+            .cast("decimal(28,12)")
+            .alias("__c"),
+        )
+        .groupBy("dst")
+        .agg(F.sum("__c").alias("__s"))
+    )
+    return nodes.join(contrib, nodes["host"] == contrib["dst"], "left").select(
+        "host",
+        F.round(
+            F.lit(base)
+            + F.lit(damping)
+            * (
+                F.coalesce(F.col("__s"), F.lit(0).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+                + F.lit(dm) / F.lit(float(n_nodes))
+            ),
+            12,
+        ).alias("rank"),
+    )

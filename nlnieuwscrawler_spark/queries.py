@@ -2684,6 +2684,188 @@ ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 20
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over crawl text: count + replace emails / IPv4 /
+    phone numbers with typed placeholders. The synthetic corpus carries
+    no PII, so the query plants it deterministically from doc_id (every
+    3rd doc an email, 5th an IP, 7th a phone — same arithmetic in both
+    engines, no RNG), then scrubs — verifying counts AND the redacted
+    text byte-for-byte. Pure projection, zero shuffle
+    (functions/text.py:pii_scrub)."""
+    from nlnieuwscrawler_spark.functions.text import pii_scrub
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" mail user"), did.cast("string"), F.lit("@example.com nu")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" via 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                ((did * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" bel +31 6 "),
+                (F.lit(10000000) + did % 89999999).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    p = pii_scrub(aug)
+    return d.select(
+        "doc_id",
+        p["n_emails"].cast("long").alias("n_emails"),
+        p["n_ipv4"].cast("long").alias("n_ipv4"),
+        p["n_phones"].cast("long").alias("n_phones"),
+        p["text_clean"].alias("text_clean"),
+    ).orderBy("doc_id")
+
+
+ORACLE_PII_SCRUB = r"""
+WITH aug AS (
+  SELECT doc_id,
+    text ||
+    CASE WHEN doc_id % 3 = 0
+         THEN ' mail user' || doc_id || '@example.com nu' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0
+         THEN ' via 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
+         ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0
+         THEN ' bel +31 6 ' || (10000000 + doc_id % 89999999) ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(t,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(t,
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT AS n_ipv4,
+  len(regexp_extract_all(t,
+    '\+[0-9]{1,3}[ -][0-9]{1,3}[ -][0-9]{6,9}\b'))::BIGINT AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(t,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+    '\+[0-9]{1,3}[ -][0-9]{1,3}[ -][0-9]{6,9}\b', '<PHONE>', 'g') AS text_clean
+FROM aug ORDER BY doc_id
+"""
+
+
+BADWORDS = ["crash", "merge", "panic", "slow"]
+
+
+def q_badword_filter(spark, sf_dir):
+    """C4-style blocklist gate rolled up per source: how many docs each
+    source would lose to a dirty-word filter, plus total occurrences —
+    evaluated as a literal-array membership inside codegen (no explode,
+    no join; functions/text.py:badword_stats)."""
+    from nlnieuwscrawler_spark.functions.text import badword_stats
+
+    d = load(spark, sf_dir, "documents")
+    return badword_stats(d, BADWORDS).orderBy("source")
+
+
+ORACLE_BADWORD_FILTER = """
+WITH g AS (
+  SELECT source,
+    CASE WHEN len(trim(text)) > 0
+         THEN string_split_regex(trim(lower(text)),'\\s+')
+         ELSE []::VARCHAR[] END AS toks
+  FROM documents
+),
+m AS (
+  SELECT source,
+    len(list_filter(toks,
+        t -> list_contains(['crash','merge','panic','slow'], t))) AS nb
+  FROM g
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum((nb > 0)::INT)::BIGINT AS n_flagged,
+       round(sum((nb > 0)::INT)::DOUBLE / count(*), 6) AS flag_rate,
+       sum(nb)::BIGINT AS bad_occurrences
+FROM m GROUP BY source ORDER BY source
+"""
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Crawl-priority PageRank over a 20-host link graph (5 fixed power
+    iterations, d=0.85, dangling mass redistributed). Edges are an
+    md5-derived deterministic function of doc_id — same arithmetic in
+    DuckDB — and every iteration's floats follow the repo's decimal
+    recipe, so the unrolled-CTE oracle matches bit-for-bit
+    (operators/graph.py:host_pagerank)."""
+    from nlnieuwscrawler_spark.operators.graph import host_pagerank
+
+    d = load(spark, sf_dir, "documents")
+
+    def h(salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 20
+        )
+
+    edges = d.select(h("s").alias("src"), h("d").alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    return host_pagerank(edges, n_nodes=20, iters=5).orderBy("host")
+
+
+def _pagerank_oracle(n: int = 20, iters: int = 5) -> str:
+    """Unrolled fixed-iteration PageRank CTE chain, arithmetic-identical
+    to operators/graph.py:host_pagerank (explicit ::DOUBLE casts so
+    DuckDB's decimal-literal folding can't diverge from IEEE doubles)."""
+    parts = [f"""
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT (('0x' || substr(md5('s' || doc_id::VARCHAR),1,4))::UBIGINT
+            % {n})::BIGINT AS src,
+           (('0x' || substr(md5('d' || doc_id::VARCHAR),1,4))::UBIGINT
+            % {n})::BIGINT AS dst
+    FROM documents) WHERE src <> dst
+),
+outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+nodes AS (SELECT unnest(range(0, {n})) AS host),
+r0 AS (SELECT host, round(1.0::DOUBLE / {n}, 12) AS rank FROM nodes)"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f""",
+d{i} AS (
+  SELECT coalesce(sum(CAST(r.rank AS DECIMAL(28,12))), 0)::DOUBLE AS dm
+  FROM r{p} r LEFT JOIN outd o ON r.host = o.src WHERE o.src IS NULL),
+c{i} AS (
+  SELECT e.dst AS host,
+         sum(CAST(round(r.rank / o.outdeg, 12) AS DECIMAL(28,12))) AS s
+  FROM e JOIN r{p} r ON e.src = r.host JOIN outd o ON o.src = e.src
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT n.host,
+         round((1.0::DOUBLE - 0.85::DOUBLE) / {n}
+               + 0.85::DOUBLE * (coalesce(c.s, 0)::DOUBLE + d.dm / {n}), 12)
+           AS rank
+  FROM nodes n LEFT JOIN c{i} c ON n.host = c.host CROSS JOIN d{i} d)""")
+    parts.append(f"\nSELECT host, rank FROM r{iters} ORDER BY host")
+    return "".join(parts)
+
+
+ORACLE_HOST_PAGERANK = _pagerank_oracle()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2729,6 +2911,8 @@ ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 20
 #   curation: sampling ........ stratified_sample, train_test_split
 #   curation: packing ......... pack_sequences, chunk_documents
 #   multimodal ................ media_features, media_resize, frame_sample
+#   curation: PII/blocklist ... pii_scrub, badword_filter
+#   crawl prioritization ...... host_pagerank
 #   crawl pipeline (O1-O20) ... crawl_epoch
 #
 # Registry ORDER is graded surface area, not cosmetics:
@@ -2763,8 +2947,10 @@ ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 20
 #     rollup) and source_token_drift (per-source KL drift vs corpus;
 #     quality_scores took the fifth out-seat) — new queries go straight
 #     into the window so no newcomer ever waits a round for driver
-#     coverage.
-#     Round 6 should cycle the 19 currently-out queries back in.
+#     coverage. Late-r5 additions pii_scrub, badword_filter and
+#     host_pagerank take the seats of correlated_above_avg, exists_parts
+#     and percent_rank_cume (r1-green trivial relational).
+#     Round 6 should cycle the 22 currently-out queries back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -2785,9 +2971,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "python_datasource": q_python_datasource,
     "python_stream_source": q_python_stream_source,
     "stream_stream_join": q_stream_stream_join,
-    "correlated_above_avg": q_correlated_above_avg,
-    "exists_parts": q_exists_parts,
-    "percent_rank_cume": q_percent_rank_cume,
+    "pii_scrub": q_pii_scrub,
+    "badword_filter": q_badword_filter,
+    "host_pagerank": q_host_pagerank,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_bruteforce": q_ann_bruteforce,
     "cosine_neardup": q_cosine_neardup,
@@ -2818,6 +3004,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_bigrams": q_pmi_bigrams,
     # --- positions 51+: oracle-backed but outside the driver's 50-entry
     # window this round (rotation policy above)
+    "correlated_above_avg": q_correlated_above_avg,
+    "exists_parts": q_exists_parts,
+    "percent_rank_cume": q_percent_rank_cume,
     "unpivot": q_unpivot,
     "window_running": q_window_running,
     "hourly_events": q_hourly_events,
@@ -2928,4 +3117,7 @@ ORACLE: dict[str, str] = {
     "lm_bigram_score": ORACLE_LM_BIGRAM,
     "source_quality": ORACLE_SOURCE_QUALITY,
     "source_token_drift": ORACLE_SOURCE_TOKEN_DRIFT,
+    "pii_scrub": ORACLE_PII_SCRUB,
+    "badword_filter": ORACLE_BADWORD_FILTER,
+    "host_pagerank": ORACLE_HOST_PAGERANK,
 }

@@ -321,3 +321,61 @@ def test_source_token_drift_manual_kl(spark):
     again = {r["source"]: r["kl_corpus"]
              for r in source_token_drift(two.repartition(5)).collect()}
     assert again == res
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing + blocklist filtering (functions/text.py)
+# --------------------------------------------------------------------------
+
+def test_pii_scrub_pinned_cases(spark):
+    from nlnieuwscrawler_spark.functions.text import pii_scrub
+
+    rows = [
+        (0, "mail a@b.com and c.d+x@e.org please"),
+        (1, "server 10.0.0.1 and 192.168.1.255 up"),
+        (2, "bel +31 6 12345678 of +1 800 5551234"),
+        (3, "no pii here, just 1.5 euro and a@@b"),
+        (4, "mixed x@y.nl at 8.8.8.8 call +31 20 1234567"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = pii_scrub(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", p["n_emails"].alias("e"), p["n_ipv4"].alias("i"),
+            p["n_phones"].alias("p"), p["text_clean"].alias("c"),
+        ).collect()
+    }
+    assert (got[0]["e"], got[0]["i"], got[0]["p"]) == (2, 0, 0)
+    assert got[0]["c"] == "mail <EMAIL> and <EMAIL> please"
+    assert (got[1]["e"], got[1]["i"], got[1]["p"]) == (0, 2, 0)
+    assert got[1]["c"] == "server <IP> and <IP> up"
+    assert (got[2]["e"], got[2]["i"], got[2]["p"]) == (0, 0, 2)
+    assert got[2]["c"] == "bel <PHONE> of <PHONE>"
+    # "1.5" is not an IP; "a@@b" is not an email
+    assert (got[3]["e"], got[3]["i"], got[3]["p"]) == (0, 0, 0)
+    assert got[3]["c"] == rows[3][1]
+    assert (got[4]["e"], got[4]["i"], got[4]["p"]) == (1, 1, 1)
+    assert got[4]["c"] == "mixed <EMAIL> at <IP> call <PHONE>"
+
+
+def test_badword_stats_rates_per_source(spark):
+    from nlnieuwscrawler_spark.functions.text import badword_stats
+
+    rows = [
+        (0, "a", "the crash was slow"),      # 2 bad tokens, flagged
+        (1, "a", "all clean text here"),     # clean
+        (2, "a", "slow slow slow"),          # 3 occurrences, flagged
+        (3, "b", "nothing bad at all"),      # clean
+        (4, "b", ""),                        # empty doc, clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["source"]: r
+        for r in badword_stats(df, ["crash", "slow"]).collect()
+    }
+    assert (got["a"]["n_docs"], got["a"]["n_flagged"]) == (3, 2)
+    assert got["a"]["bad_occurrences"] == 5
+    assert got["a"]["flag_rate"] == round(2 / 3, 6)
+    assert (got["b"]["n_docs"], got["b"]["n_flagged"], got["b"]["bad_occurrences"]) == (2, 0, 0)
+    assert got["b"]["flag_rate"] == 0.0

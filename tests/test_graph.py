@@ -1,0 +1,79 @@
+"""host_pagerank semantics: mass conservation, hub ordering, dangling
+redistribution, numpy cross-check, and partitioning invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from nlnieuwscrawler_spark.operators.graph import host_pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _np_pagerank(n, pairs, d=0.85, iters=5):
+    """Straight-line reference: same formula, full-precision floats."""
+    out = {}
+    for s, t in set(pairs):
+        out.setdefault(s, []).append(t)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangle = sum(r[h] for h in range(n) if h not in out)
+        nxt = np.full(n, (1.0 - d) / n)
+        for h in range(n):
+            share = d * dangle / n
+            nxt[h] += share
+        for s, ts in out.items():
+            for t in ts:
+                nxt[t] += d * r[s] / len(ts)
+        r = nxt
+    return r
+
+
+def test_pagerank_cycle_with_isolated_node(spark):
+    # 0→1→2→0 cycle plus node 3 with no edges at all (pure dangling)
+    pairs = [(0, 1), (1, 2), (2, 0)]
+    got = {
+        r["host"]: r["rank"]
+        for r in host_pagerank(_edges(spark, pairs), n_nodes=4).collect()
+    }
+    want = _np_pagerank(4, pairs)
+    for h in range(4):
+        assert abs(got[h] - want[h]) < 1e-9, (h, got[h], want[h])
+    # mass conservation: dangling redistribution keeps total rank at 1
+    assert abs(sum(got.values()) - 1.0) < 1e-8
+    # cycle symmetry: the three cycle nodes end up equal
+    assert abs(got[0] - got[1]) < 1e-12 and abs(got[1] - got[2]) < 1e-12
+
+
+def test_pagerank_star_hub_ranks_highest(spark):
+    pairs = [(i, 0) for i in range(1, 6)]  # 1..5 all link to 0
+    got = {
+        r["host"]: r["rank"]
+        for r in host_pagerank(_edges(spark, pairs), n_nodes=6).collect()
+    }
+    assert got[0] == max(got.values())
+    assert all(abs(got[i] - got[1]) < 1e-12 for i in range(2, 6))
+    want = _np_pagerank(6, pairs)
+    for h in range(6):
+        assert abs(got[h] - want[h]) < 1e-9
+
+
+def test_pagerank_partitioning_invariance(spark):
+    pairs = [(i % 7, (i * 3 + 1) % 7) for i in range(40) if i % 7 != (i * 3 + 1) % 7]
+    e = _edges(spark, pairs)
+    a = host_pagerank(e.repartition(1), n_nodes=7).orderBy("host").collect()
+    b = host_pagerank(e.repartition(13, "dst"), n_nodes=7).orderBy("host").collect()
+    assert [(r["host"], r["rank"]) for r in a] == [
+        (r["host"], r["rank"]) for r in b
+    ]  # EXACT float equality — decimal-summed contributions are order-free
+
+
+def test_pagerank_shuffle_join_fallback_matches_broadcast(spark):
+    pairs = [(i % 5, (i + 1) % 5) for i in range(20) if i % 5 != (i + 1) % 5]
+    e = _edges(spark, pairs)
+    a = host_pagerank(e, n_nodes=5, broadcast_ranks=True).orderBy("host").collect()
+    b = host_pagerank(e, n_nodes=5, broadcast_ranks=False).orderBy("host").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -216,3 +216,27 @@ def test_lm_bigram_score_plan_no_bnlj(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_step_broadcasts_ranks_narrow_exchange(spark):
+    """One PageRank power iteration: the |hosts|-row rank and out-degree
+    tables BROADCAST to the edge join (no shuffle of the edge list by
+    join), and the only exchange below the final node join is the
+    (dst, decimal) partial-aggregated contribution sum — never edge
+    payload, never a nested-loop join."""
+    from nlnieuwscrawler_spark.operators.graph import _pagerank_step
+
+    e = spark.createDataFrame(
+        [(i % 9, (i * 5 + 2) % 9) for i in range(60) if i % 9 != (i * 5 + 2) % 9],
+        "src long, dst long",
+    ).distinct()
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = spark.range(9).select(F.col("id").alias("host"))
+    ranks = nodes.select("host", F.lit(1.0 / 9).alias("rank"))
+    step = _pagerank_step(e, outd, nodes, ranks, n_nodes=9)
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # ranks + outdeg
+    # the groupBy(dst) agg is partial/final (map-side combine before the
+    # one hash exchange)
+    assert "partial_sum" in plan or "partial" in plan.lower(), plan
