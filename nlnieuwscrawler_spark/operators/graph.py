@@ -17,6 +17,8 @@ a DuckDB oracle that unrolls the same K iterations reproduces every bit.
 
 from __future__ import annotations
 
+import time as _time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -32,6 +34,7 @@ def host_pagerank(
     iters: int = 5,
     reliable: bool = False,
     broadcast_ranks: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a host link graph → (host, rank).
 
@@ -76,11 +79,17 @@ def host_pagerank(
         nodes.select("host", F.lit(init).cast("double").alias("rank")), reliable
     )
 
+    round_secs: list[float] = []
     for _ in range(iters):
+        t0 = _time.perf_counter()
         new = _pagerank_step(
             e, outd, nodes, ranks, n_nodes, damping, broadcast_ranks
         )
         ranks = cut_lineage(new, reliable)
+        round_secs.append(round(_time.perf_counter() - t0, 3))
+    if stats is not None:
+        stats["rounds"] = len(round_secs)
+        stats["round_secs"] = round_secs
     return ranks
 
 
@@ -132,3 +141,73 @@ def _pagerank_step(
             12,
         ).alias("rank"),
     )
+
+
+def crawl_depth(
+    edges: DataFrame,
+    n_nodes: int,
+    seeds: list[int],
+    max_depth: int = 30,
+    reliable: bool = False,
+    broadcast_frontier: bool = True,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Min-hop BFS distance from the seed hosts → (host, depth); NULL
+    depth = unreachable. The other half of crawl prioritization: a
+    frontier scheduler enforces a DEPTH budget from the seed list (the
+    reference crawls only its Dutch-news seeds one hop deep; at web scale
+    "how many hops from a trusted seed" is the standard crawl-frontier
+    quality prior alongside PageRank).
+
+    Frontier BFS, not dense relaxation: round r joins ONLY the hosts
+    first reached at round r-1 against the edge list, so each round
+    shuffles the frontier's out-edges — work proportional to the BFS
+    wavefront, never |V|x rounds. The frontier broadcasts to the edge
+    join by default; at web scale the depth-2/3 wavefront can be most of
+    the host graph, so ``broadcast_frontier=False`` switches to a
+    src-keyed shuffle hash join. Terminates when the frontier empties
+    (one metadata-sized count per round, same pattern as
+    dedup_components' convergence sum) or at ``max_depth``. Distances
+    are integers — exact on any engine by construction.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).distinct()
+    e = cut_lineage(e, reliable)
+    nodes = spark.range(n_nodes).select(F.col("id").alias("host"))
+    dist = cut_lineage(
+        nodes.select(
+            "host",
+            F.when(
+                F.col("host").isin([int(s) for s in seeds]), F.lit(0)
+            ).cast("long").alias("depth"),
+        ),
+        reliable,
+    )
+    frontier = dist.filter(F.col("depth") == 0).select("host")
+    round_secs: list[float] = []
+    for r in range(1, max_depth + 1):
+        t0 = _time.perf_counter()
+        fr = F.broadcast(frontier) if broadcast_frontier else frontier
+        reached = (
+            e.join(fr, e["src"] == fr["host"])
+            .select(F.col("dst").alias("host"))
+            .distinct()
+        )
+        nxt = dist.join(reached.withColumn("__r", F.lit(r)), "host", "left").select(
+            "host",
+            F.coalesce(
+                "depth", F.when(F.col("__r").isNotNull(), F.lit(r)).cast("long")
+            ).alias("depth"),
+        )
+        dist = cut_lineage(nxt, reliable)
+        frontier = dist.filter(F.col("depth") == r).select("host")
+        n_front = frontier.count()
+        round_secs.append(round(_time.perf_counter() - t0, 3))
+        if n_front == 0:
+            break
+    if stats is not None:
+        stats["rounds"] = len(round_secs)
+        stats["round_secs"] = round_secs
+    return dist

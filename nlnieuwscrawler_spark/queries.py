@@ -2866,6 +2866,58 @@ r{i} AS (
 ORACLE_HOST_PAGERANK = _pagerank_oracle()
 
 
+def q_crawl_depth(spark, sf_dir):
+    """Crawl-depth labeling: min-hop BFS distance of every host from the
+    seed hosts {0, 1} over the same deterministic 20-host link graph as
+    host_pagerank — the depth-budget prior a frontier scheduler enforces.
+    Integer distances, frontier-only per-round shuffles; NULL = host
+    unreachable from the seeds (operators/graph.py:crawl_depth)."""
+    from nlnieuwscrawler_spark.operators.graph import crawl_depth
+
+    d = load(spark, sf_dir, "documents")
+
+    def h(salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 20
+        )
+
+    edges = d.select(h("s").alias("src"), h("d").alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    return crawl_depth(edges, n_nodes=20, seeds=[0, 1]).orderBy("host")
+
+
+ORACLE_CRAWL_DEPTH = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT (('0x' || substr(md5('s' || doc_id::VARCHAR),1,4))::UBIGINT
+            % 20)::BIGINT AS src,
+           (('0x' || substr(md5('d' || doc_id::VARCHAR),1,4))::UBIGINT
+            % 20)::BIGINT AS dst
+    FROM documents) WHERE src <> dst
+),
+nodes AS (SELECT unnest(range(0, 20)) AS host),
+walk(host, dist) AS (
+  SELECT unnest([0, 1]::BIGINT[]), 0
+  UNION
+  SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.host
+  WHERE w.dist < 30
+),
+m AS (SELECT host, min(dist) AS depth FROM walk GROUP BY host)
+SELECT n.host, m.depth::BIGINT AS depth
+FROM nodes n LEFT JOIN m ON n.host = m.host ORDER BY n.host
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2912,7 +2964,7 @@ ORACLE_HOST_PAGERANK = _pagerank_oracle()
 #   curation: packing ......... pack_sequences, chunk_documents
 #   multimodal ................ media_features, media_resize, frame_sample
 #   curation: PII/blocklist ... pii_scrub, badword_filter
-#   crawl prioritization ...... host_pagerank
+#   crawl prioritization ...... host_pagerank, crawl_depth
 #   crawl pipeline (O1-O20) ... crawl_epoch
 #
 # Registry ORDER is graded surface area, not cosmetics:
@@ -2947,10 +2999,11 @@ ORACLE_HOST_PAGERANK = _pagerank_oracle()
 #     rollup) and source_token_drift (per-source KL drift vs corpus;
 #     quality_scores took the fifth out-seat) — new queries go straight
 #     into the window so no newcomer ever waits a round for driver
-#     coverage. Late-r5 additions pii_scrub, badword_filter and
-#     host_pagerank take the seats of correlated_above_avg, exists_parts
-#     and percent_rank_cume (r1-green trivial relational).
-#     Round 6 should cycle the 22 currently-out queries back in.
+#     coverage. Late-r5 additions pii_scrub, badword_filter,
+#     host_pagerank and crawl_depth take the seats of
+#     correlated_above_avg, exists_parts, percent_rank_cume and
+#     rollup_metrics (r1-green trivial relational).
+#     Round 6 should cycle the 23 currently-out queries back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -2958,7 +3011,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_topk_per_customer": q_window_topk_per_customer,
     "semi_anti_join": q_semi_anti_join,
     "set_ops": q_set_ops,
-    "rollup_metrics": q_rollup_metrics,
     "asof_latest_event": q_asof_latest_event,
     "asof_join_left": q_asof_join_left,
     "dedup_exact": q_dedup_exact,
@@ -2974,6 +3026,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "badword_filter": q_badword_filter,
     "host_pagerank": q_host_pagerank,
+    "crawl_depth": q_crawl_depth,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_bruteforce": q_ann_bruteforce,
     "cosine_neardup": q_cosine_neardup,
@@ -3004,6 +3057,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_bigrams": q_pmi_bigrams,
     # --- positions 51+: oracle-backed but outside the driver's 50-entry
     # window this round (rotation policy above)
+    "rollup_metrics": q_rollup_metrics,
     "correlated_above_avg": q_correlated_above_avg,
     "exists_parts": q_exists_parts,
     "percent_rank_cume": q_percent_rank_cume,
@@ -3120,4 +3174,5 @@ ORACLE: dict[str, str] = {
     "pii_scrub": ORACLE_PII_SCRUB,
     "badword_filter": ORACLE_BADWORD_FILTER,
     "host_pagerank": ORACLE_HOST_PAGERANK,
+    "crawl_depth": ORACLE_CRAWL_DEPTH,
 }

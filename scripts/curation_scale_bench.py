@@ -224,6 +224,43 @@ def main() -> None:
     print(json.dumps({"op": "curate_composite", "rows": n_packed,
                       "sec": timings["curate_composite"], "audit": audit}))
 
+    # round-5 late: the iterative GRAPH op at scale — PageRank over a
+    # host graph with n_docs/20 hosts and ~2 edges per doc (each doc
+    # links its host to two xxhash64-derived targets), per-iteration
+    # profile included. The per-round cost must stay flat across rounds
+    # (each round is one broadcast join + one narrow (dst, decimal) agg)
+    from nlnieuwscrawler_spark.operators.graph import host_pagerank
+
+    n_hosts = max(1000, n_docs // 20)
+    src_h = F.pmod(F.xxhash64(F.lit("ph-s"), F.col("doc_id")), F.lit(n_hosts))
+    edges = docs.select(
+        src_h.alias("src"),
+        F.pmod(F.xxhash64(F.lit("ph-d1"), F.col("doc_id")), F.lit(n_hosts)).alias("dst"),
+    ).unionByName(
+        docs.select(
+            src_h.alias("src"),
+            F.pmod(F.xxhash64(F.lit("ph-d2"), F.col("doc_id")), F.lit(n_hosts)).alias("dst"),
+        )
+    ).filter(F.col("src") != F.col("dst"))
+    pr_stats: dict = {}
+    t0 = time.perf_counter()
+    pr = host_pagerank(edges, n_nodes=n_hosts, iters=5, stats=pr_stats)
+    n_pr = pr.count()
+    timings["host_pagerank"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"op": "host_pagerank", "rows": n_pr, "n_hosts": n_hosts,
+                      "sec": timings["host_pagerank"], **pr_stats}))
+    from nlnieuwscrawler_spark.operators.graph import crawl_depth
+
+    bfs_stats: dict = {}
+    t0 = time.perf_counter()
+    cd = crawl_depth(edges, n_nodes=n_hosts, seeds=list(range(10)),
+                     stats=bfs_stats)
+    n_unreach = cd.filter("depth IS NULL").count()
+    timings["crawl_depth"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"op": "crawl_depth", "rows": n_hosts,
+                      "unreachable": n_unreach,
+                      "sec": timings["crawl_depth"], **bfs_stats}))
+
     # VERDICT r4 #7: embeddings leg — IVF ANN at n_vecs = n_docs/2 synthetic
     # 64-d vectors (deterministic: sin of seeded xxhash64), 100 queries
     from nlnieuwscrawler_spark.operators.similarity import ann_ivf_topk

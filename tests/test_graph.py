@@ -77,3 +77,46 @@ def test_pagerank_shuffle_join_fallback_matches_broadcast(spark):
     a = host_pagerank(e, n_nodes=5, broadcast_ranks=True).orderBy("host").collect()
     b = host_pagerank(e, n_nodes=5, broadcast_ranks=False).orderBy("host").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_crawl_depth_chain_and_unreachable(spark):
+    from nlnieuwscrawler_spark.operators.graph import crawl_depth
+
+    # 0→1→2→3 chain, 4 isolated, 5→0 (points AT the seed: unreachable)
+    pairs = [(0, 1), (1, 2), (2, 3), (5, 0)]
+    got = {
+        r["host"]: r["depth"]
+        for r in crawl_depth(_edges(spark, pairs), n_nodes=6, seeds=[0]).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: None, 5: None}
+
+
+def test_crawl_depth_multi_seed_takes_min(spark):
+    from nlnieuwscrawler_spark.operators.graph import crawl_depth
+
+    pairs = [(0, 2), (2, 3), (1, 3)]  # 3 reachable at 2 via 0, at 1 via 1
+    got = {
+        r["host"]: r["depth"]
+        for r in crawl_depth(_edges(spark, pairs), n_nodes=4, seeds=[0, 1]).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1}
+
+
+def test_crawl_depth_max_depth_cutoff_and_fallback_parity(spark):
+    from nlnieuwscrawler_spark.operators.graph import crawl_depth
+
+    pairs = [(i, i + 1) for i in range(6)]  # 0→1→…→6
+    stats = {}
+    got = {
+        r["host"]: r["depth"]
+        for r in crawl_depth(
+            _edges(spark, pairs), n_nodes=7, seeds=[0], max_depth=3, stats=stats
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: None, 5: None, 6: None}
+    assert stats["rounds"] == 3  # stopped by the cutoff, not an empty frontier
+    a = crawl_depth(_edges(spark, pairs), n_nodes=7, seeds=[0]).orderBy("host").collect()
+    b = crawl_depth(
+        _edges(spark, pairs), n_nodes=7, seeds=[0], broadcast_frontier=False
+    ).orderBy("host").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
