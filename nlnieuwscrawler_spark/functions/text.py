@@ -774,3 +774,170 @@ def badword_stats(df, badwords: list[str], text_col: str = "text",
             F.sum("__nb").cast("long").alias("bad_occurrences"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hashed linear quality classifier + temperature-scaled domain mixture
+# --------------------------------------------------------------------------
+
+
+def quality_classifier(df, text_col: str = "text", id_col: str = "doc_id"):
+    """fastText-style linear document classifier over hashed bag-of-words
+    features — the "model-based quality filter" stage (CCNet / LLaMA-style
+    pipelines score every page with a linear text classifier and keep the
+    positive class). The reference crawler has no learned filter; this is
+    the curation step its corpus consumers run before training.
+
+    Feature weights come from a deterministic hash of the token (stand-in
+    for a trained model's embedding table — the production swap-in point
+    is a broadcast ``token -> weight`` map; the PLAN is identical):
+    ``w(tok) = (md5_u32(tok) % 2001 - 1000)`` in integer "milliweights"
+    (range [-1000, 1000] ≈ weight ∈ [-1, 1] at 3 dp).
+    ``logit(doc) = Σ_tok w(tok) / (1000 · n_tokens)`` — the mean hashed
+    feature weight; ``keep = logit > 0``.
+
+    100 TB shape: ZERO shuffle — the token transform, the integer
+    accumulation (``F.aggregate``) and the final division all run inside
+    whole-stage codegen as a pure per-row projection, so the classifier
+    scales embarrassingly and composes with any downstream filter without
+    adding an exchange. Integer milliweight accumulation is exact and
+    associative (no float-order drift); the single terminal division is
+    the same IEEE op in both engines, so the oracle matches bit-for-bit.
+    """
+    toks = tokens_col_text(F.col(text_col))
+    wmilli = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        % 2001
+        - 1000,
+    )
+    sum_milli = F.aggregate(
+        wmilli, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    n_tokens = F.size(toks).cast("long")
+    logit = F.when(
+        n_tokens > 0,
+        sum_milli.cast("double") / (n_tokens.cast("double") * 1000.0),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        logit.alias("logit"),
+        (logit > 0.0).alias("keep"),
+    )
+
+
+def domain_mix(
+    df,
+    strata_cols: list[str] | None = None,
+    alpha: float = 0.7,
+    id_col: str = "doc_id",
+):
+    """Temperature-scaled source-mixture weights — the "domain mix" table
+    a training run samples from (The Pile / DoReMi practice: weight each
+    source ∝ count^α with α < 1 so small high-quality domains are
+    up-sampled relative to raw proportions).
+
+    Per source: ``n_docs``, ``weight = n^α / Σ n^α`` and
+    ``target_docs = floor(weight · N)`` (the per-source quota an
+    epoch-sampler draws). Engine-portable exactness: each ``n^α`` is
+    rounded to 6 dp FIRST (absorbs libm pow drift) and summed as exact
+    DECIMAL; the weight division and the quota multiply are then single
+    IEEE double ops on identical operands, and ``floor`` (not round)
+    keeps the quota integer unambiguous in both engines.
+
+    100 TB shape: ONE map-side-combined count per domain cell (|cells|
+    rows) is the only corpus-sized job; the cell table is PERSISTED for
+    its two consumers (normalizer + output) so branching the plan never
+    re-scans the corpus, the normalizer rides a 1-row broadcast cross
+    join, and the |cells|-row result is localCheckpoint-materialized so
+    the cache can be released before returning (the eager
+    source_token_drift convention).
+    """
+    strata_cols = strata_cols or ["source"]
+    pw = F.round(F.pow(F.col("n_docs").cast("double"), F.lit(alpha)), 6).cast(
+        "decimal(28,6)"
+    )
+    weighted = (
+        df.groupBy(*strata_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(*strata_cols, "n_docs", pw.alias("__pw"))
+        .persist()
+    )
+    tot = weighted.agg(
+        F.sum("__pw").alias("__tot"),
+        F.sum("n_docs").cast("long").alias("__n"),
+    )
+    weight = F.col("__pw").cast("double") / F.col("__tot").cast("double")
+    out = (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            *strata_cols,
+            "n_docs",
+            weight.alias("weight"),
+            F.floor(weight * F.col("__n").cast("double"))
+            .cast("long")
+            .alias("target_docs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    weighted.unpersist()
+    return out
+
+
+def perplexity_buckets(
+    df, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+):
+    """CCNet-style perplexity bucketing: score every doc with the
+    corpus-trained bigram LM (``lm_bigram_score``), rank the corpus by
+    avg-NLL and cut it into ``k`` equal-size buckets (head = most fluent
+    … tail = most disfluent), then roll up per bucket. CCNet keeps
+    head+middle and drops (or down-weights) the tail; the rollup is the
+    table that decision is made from.
+
+    100 TB shape: ranking uses ``global_sequence`` — a RANGE-partitioned
+    parallel sort over the NARROW ``(doc_id, n_bigrams, avg_nll)``
+    projection plus a per-partition-offset enumeration — NOT a
+    single-task ``row_number() OVER (ORDER BY …)``, so the sort scales
+    with executors (the text never rides it). The bucket is then a
+    closed-form NTILE from the global rank r and total N
+    (first N%k buckets take ⌈N/k⌉ rows — exactly SQL NTILE semantics,
+    pinned against DuckDB's ntile by the oracle), and the rollup is one
+    k-row aggregate. Ties in avg_nll are broken by doc_id so the rank is
+    a total order in both engines.
+    """
+    from pyspark import StorageLevel
+
+    from nlnieuwscrawler_spark.operators.sequence import global_sequence
+
+    # Materialize the NARROW scored table before ranking: the
+    # RangePartitioner's boundary-sampling pass plus the range shuffle
+    # would otherwise EACH re-evaluate the whole LM pipeline (measured
+    # 21.9 s -> 8.6 s at 100k docs). global_sequence localCheckpoints its
+    # output, so the cache can be released as soon as it returns.
+    scored = (
+        lm_bigram_score(df, text_col, id_col)
+        .filter(F.col("n_bigrams") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ranked = global_sequence(scored, ["avg_nll", id_col], seq_col="__rk")
+    scored.unpersist()
+    tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    bucket = F.expr(
+        f"CASE WHEN __rk <= ((__n DIV {k}) + 1) * (__n % {k}) "
+        f"THEN (__rk - 1) DIV ((__n DIV {k}) + 1) + 1 "
+        f"ELSE (__n % {k}) + "
+        f"(__rk - 1 - ((__n DIV {k}) + 1) * (__n % {k})) DIV (__n DIV {k}) "
+        f"+ 1 END"
+    ).cast("long")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(bucket.alias("ppl_bucket"), "n_bigrams", "avg_nll")
+        .groupBy("ppl_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            F.min("avg_nll").alias("min_nll"),
+            F.max("avg_nll").alias("max_nll"),
+        )
+    )

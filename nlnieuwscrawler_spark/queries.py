@@ -2918,6 +2918,135 @@ FROM nodes n LEFT JOIN m ON n.host = m.host ORDER BY n.host
 """
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Hashed-linear (fastText-shape) quality classifier — zero-shuffle
+    per-doc logit + keep decision (functions/text.py:quality_classifier)."""
+    from nlnieuwscrawler_spark.functions.text import quality_classifier
+
+    d = load(spark, sf_dir, "documents")
+    return quality_classifier(d).orderBy("doc_id")
+
+
+ORACLE_QUALITY_CLASSIFIER = """
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN len(trim(text)) > 0
+         THEN string_split_regex(trim(lower(text)),'\\s+')
+         ELSE []::VARCHAR[] END AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+    coalesce(list_sum(list_transform(toks,
+      t -> (('0x' || substr(md5(t),1,8))::UBIGINT % 2001)::BIGINT - 1000)),
+      0)::BIGINT AS sum_milli
+  FROM d
+)
+SELECT doc_id, n_tokens,
+  CASE WHEN n_tokens > 0
+       THEN sum_milli::DOUBLE / (n_tokens::DOUBLE * 1000.0)
+       ELSE 0.0 END AS logit,
+  (CASE WHEN n_tokens > 0
+        THEN sum_milli::DOUBLE / (n_tokens::DOUBLE * 1000.0)
+        ELSE 0.0 END) > 0.0 AS keep
+FROM s ORDER BY doc_id
+"""
+
+
+def q_domain_mix(spark, sf_dir):
+    """Temperature-scaled (count^0.7) domain-mixture weights + sampling
+    quota per (source, lang) corpus cell — lang counts are skewed (en ≈
+    3× the tail) so the α < 1 re-weighting is non-vacuous
+    (functions/text.py:domain_mix)."""
+    from nlnieuwscrawler_spark.functions.text import domain_mix
+
+    d = load(spark, sf_dir, "documents")
+    return domain_mix(d, ["source", "lang"], alpha=0.7).orderBy(
+        "source", "lang"
+    )
+
+
+ORACLE_DOMAIN_MIX = """
+WITH c AS (
+  SELECT source, lang, count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY source, lang
+),
+w AS (
+  SELECT source, lang, n_docs,
+         round(pow(n_docs::DOUBLE, 0.7), 6)::DECIMAL(28,6) AS pw
+  FROM c
+),
+t AS (SELECT sum(pw) AS tot, sum(n_docs)::BIGINT AS n FROM w)
+SELECT w.source, w.lang, w.n_docs,
+       w.pw::DOUBLE / t.tot::DOUBLE AS weight,
+       floor((w.pw::DOUBLE / t.tot::DOUBLE) * t.n::DOUBLE)::BIGINT
+         AS target_docs
+FROM w CROSS JOIN t ORDER BY w.source, w.lang
+"""
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: corpus-LM avg-NLL → distributed
+    global rank → 3 equal NTILE buckets (head/middle/tail) → per-bucket
+    rollup (functions/text.py:perplexity_buckets)."""
+    from nlnieuwscrawler_spark.functions.text import perplexity_buckets
+
+    d = load(spark, sf_dir, "documents")
+    return perplexity_buckets(d, k=3).orderBy("ppl_bucket")
+
+
+ORACLE_PPL_BUCKETS = f"""
+WITH nz AS (
+  SELECT * FROM ({ORACLE_LM_BIGRAM}) WHERE n_bigrams > 0
+),
+t AS (
+  SELECT doc_id, n_bigrams, avg_nll,
+         ntile(3) OVER (ORDER BY avg_nll, doc_id) AS ppl_bucket
+  FROM nz
+)
+SELECT ppl_bucket::BIGINT AS ppl_bucket, count(*)::BIGINT AS n_docs,
+       sum(n_bigrams)::BIGINT AS n_bigrams,
+       min(avg_nll) AS min_nll, max(avg_nll) AS max_nll
+FROM t GROUP BY ppl_bucket ORDER BY ppl_bucket
+"""
+
+
+def q_recrawl_schedule(spark, sf_dir):
+    """Cho/Garcia-Molina revisit policy: per-key change rate from the
+    observation log (events as per-source fetch samples; a value change =
+    a detected page change) → clamped revisit interval
+    (operators/recrawl.py:recrawl_schedule)."""
+    from nlnieuwscrawler_spark.operators.recrawl import recrawl_schedule
+
+    e = load(spark, sf_dir, "events")
+    return recrawl_schedule(e).orderBy("user_id")
+
+
+ORACLE_RECRAWL = """
+WITH m AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(value) OVER w IS NOT NULL
+                   AND value <> lag(value) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+a AS (
+  SELECT user_id, count(*)::BIGINT AS n_obs, sum(chg)::BIGINT AS n_changes,
+         (epoch(max(ts)) - epoch(min(ts))) / 3600.0 AS span_h
+  FROM m GROUP BY user_id
+)
+SELECT user_id, n_obs, n_changes,
+  round(span_h, 4) AS span_hours,
+  round(CASE WHEN n_changes > 0 AND span_h > 0.0
+             THEN n_changes::DOUBLE / span_h ELSE 0.0 END, 6) AS change_rate,
+  round(CASE WHEN n_changes > 0 AND span_h > 0.0
+             THEN least(168.0, greatest(1.0, span_h / n_changes::DOUBLE))
+             ELSE 168.0 END, 4) AS revisit_hours
+FROM a ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2964,7 +3093,10 @@ FROM nodes n LEFT JOIN m ON n.host = m.host ORDER BY n.host
 #   curation: packing ......... pack_sequences, chunk_documents
 #   multimodal ................ media_features, media_resize, frame_sample
 #   curation: PII/blocklist ... pii_scrub, badword_filter
+#   curation: model filter .... quality_classifier, perplexity_buckets
+#   curation: domain mix ...... domain_mix
 #   crawl prioritization ...... host_pagerank, crawl_depth
+#   crawl scheduling .......... recrawl_schedule
 #   crawl pipeline (O1-O20) ... crawl_epoch
 #
 # Registry ORDER is graded surface area, not cosmetics:
@@ -3002,24 +3134,27 @@ FROM nodes n LEFT JOIN m ON n.host = m.host ORDER BY n.host
 #     coverage. Late-r5 additions pii_scrub, badword_filter,
 #     host_pagerank and crawl_depth take the seats of
 #     correlated_above_avg, exists_parts, percent_rank_cume and
-#     rollup_metrics (r1-green trivial relational).
-#     Round 6 should cycle the 23 currently-out queries back in.
+#     rollup_metrics (r1-green trivial relational). The final r5 batch
+#     quality_classifier (hashed-linear fastText-shape filter),
+#     domain_mix (count^α mixture weights), perplexity_buckets (CCNet
+#     head/middle/tail over the corpus LM) and recrawl_schedule
+#     (Cho/Garcia-Molina revisit policy) takes the seats of
+#     semi_anti_join, set_ops, grouping_sets and variant_props
+#     (r1-green trivial relational).
+#     Round 6 should cycle the 27 currently-out queries back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "region_revenue": q_region_revenue,
     "window_topk_per_customer": q_window_topk_per_customer,
-    "semi_anti_join": q_semi_anti_join,
-    "set_ops": q_set_ops,
     "asof_latest_event": q_asof_latest_event,
     "asof_join_left": q_asof_join_left,
     "dedup_exact": q_dedup_exact,
     "dedup_spans": q_dedup_spans,
     "lm_bigram_score": q_lm_bigram_score,
-    "grouping_sets": q_grouping_sets,
+    "perplexity_buckets": q_perplexity_buckets,
     "range_join": q_range_join,
     "udtf_tokens": q_udtf_tokens,
-    "variant_props": q_variant_props,
     "python_datasource": q_python_datasource,
     "python_stream_source": q_python_stream_source,
     "stream_stream_join": q_stream_stream_join,
@@ -3031,9 +3166,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce": q_ann_bruteforce,
     "cosine_neardup": q_cosine_neardup,
     "lang_id": q_lang_id,
+    "quality_classifier": q_quality_classifier,
     "importance_sample": q_importance_sample,
+    "domain_mix": q_domain_mix,
     "source_token_drift": q_source_token_drift,
     "session_stats": q_session_stats,
+    "recrawl_schedule": q_recrawl_schedule,
     "source_quality": q_source_quality,
     "stream_hourly": q_stream_hourly,
     "stream_dedup_users": q_stream_dedup_users,
@@ -3057,6 +3195,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_bigrams": q_pmi_bigrams,
     # --- positions 51+: oracle-backed but outside the driver's 50-entry
     # window this round (rotation policy above)
+    "semi_anti_join": q_semi_anti_join,
+    "set_ops": q_set_ops,
+    "grouping_sets": q_grouping_sets,
+    "variant_props": q_variant_props,
     "rollup_metrics": q_rollup_metrics,
     "correlated_above_avg": q_correlated_above_avg,
     "exists_parts": q_exists_parts,
@@ -3169,6 +3311,10 @@ ORACLE: dict[str, str] = {
     "dedup_spans": ORACLE_DEDUP_SPANS,
     "importance_sample": ORACLE_IMPORTANCE_SAMPLE,
     "lm_bigram_score": ORACLE_LM_BIGRAM,
+    "perplexity_buckets": ORACLE_PPL_BUCKETS,
+    "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
+    "domain_mix": ORACLE_DOMAIN_MIX,
+    "recrawl_schedule": ORACLE_RECRAWL,
     "source_quality": ORACLE_SOURCE_QUALITY,
     "source_token_drift": ORACLE_SOURCE_TOKEN_DRIFT,
     "pii_scrub": ORACLE_PII_SCRUB,

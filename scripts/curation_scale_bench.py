@@ -108,8 +108,13 @@ def main() -> None:
         # checksum=True for projection-only ops: a bare count() lets
         # Catalyst prune the computed columns entirely (measured: the
         # whole gopher_quality projection "ran" in 0.17 s at 2M docs);
-        # summing a hash over every output column forces full evaluation
+        # summing a hash over every output column forces full evaluation.
+        # EAGER ops (localCheckpoint(eager=True) inside — drift, mix,
+        # buckets) must be passed as a THUNK so construction lands inside
+        # the timer; a pre-built eager DataFrame times only its count.
         t0 = time.perf_counter()
+        if callable(df):
+            df = df()
         if checksum:
             # decimal sum: ANSI mode overflows a LONG sum of 2M hashes
             df.select(
@@ -196,7 +201,36 @@ def main() -> None:
     run("source_quality", source_quality_rollup(docs))
     from nlnieuwscrawler_spark.functions.text import source_token_drift
 
-    run("source_token_drift", source_token_drift(docs))
+    # thunk: eager op — construction (the real work) inside the timer
+    run("source_token_drift", lambda: source_token_drift(docs))
+
+    # final r5 ops: the zero-shuffle hashed classifier, the eager
+    # domain-mix rollup, CCNet bucketing (LM + distributed rank), and the
+    # per-key recrawl policy over a synthetic 100k-host observation log
+    from nlnieuwscrawler_spark.functions.text import (
+        domain_mix,
+        perplexity_buckets,
+        quality_classifier,
+    )
+    from nlnieuwscrawler_spark.operators.recrawl import recrawl_schedule
+
+    run("quality_classifier", quality_classifier(docs), checksum=True)
+    run("domain_mix", lambda: domain_mix(docs, ["source"]))
+    run("perplexity_buckets", lambda: perplexity_buckets(docs))
+    n_keys = max(1000, n_docs // 20)
+    obs = spark.range(n_docs).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.col("id"), F.lit(n_keys)).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") / F.lit(n_keys)).cast("long") * 3600
+        ).alias("ts"),
+        # deterministic step function: ~1 change per 3 observations
+        F.pmod(F.xxhash64(F.lit("rc"), (F.col("id") / F.lit(3 * n_keys)).cast("long"),
+                          F.pmod(F.col("id"), F.lit(n_keys))), F.lit(97))
+        .cast("double")
+        .alias("value"),
+    )
+    run("recrawl_schedule", recrawl_schedule(obs))
 
     # VERDICT r4 #6: the end-to-end curate() composite as ONE measured run
     # (minhash mode — the 100 TB path), audit included

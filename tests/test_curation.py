@@ -379,3 +379,64 @@ def test_badword_stats_rates_per_source(spark):
     assert got["a"]["flag_rate"] == round(2 / 3, 6)
     assert (got["b"]["n_docs"], got["b"]["n_flagged"], got["b"]["bad_occurrences"]) == (2, 0, 0)
     assert got["b"]["flag_rate"] == 0.0
+
+
+def test_quality_classifier_hand_hash(spark):
+    """Logit equals the hand-computed mean hashed milliweight; empty doc
+    scores (0, 0.0, False); invariant under repartitioning."""
+    import hashlib
+
+    from nlnieuwscrawler_spark.functions.text import quality_classifier
+
+    def w(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    docs = spark.createDataFrame(
+        [(1, "Aap Noot mies"), (2, "x"), (3, "   ")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in quality_classifier(docs).collect()}
+    toks = ["aap", "noot", "mies"]  # tokenizer lowercases
+    exp = sum(w(t) for t in toks) / (3 * 1000.0)
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["logit"] == exp
+    assert out[1]["keep"] == (exp > 0)
+    assert out[2]["logit"] == w("x") / 1000.0
+    assert out[3] == (3, 0, 0.0, False)
+    again = {r["doc_id"]: r["logit"]
+             for r in quality_classifier(docs.repartition(5)).collect()}
+    assert again == {k: v["logit"] for k, v in out.items()}
+
+
+def test_domain_mix_alpha_upsamples_small_domains(spark):
+    """count^0.7 weights: the small domain's weight exceeds its raw share,
+    the big one's is below; quotas floor(weight*N); weights sum to ~1."""
+    docs = spark.createDataFrame(
+        [(i, "t", "big") for i in range(8)] + [(8, "t", "small")],
+        ["doc_id", "text", "source"])
+    from nlnieuwscrawler_spark.functions.text import domain_mix
+
+    out = {r["source"]: r for r in domain_mix(docs, ["source"]).collect()}
+    pb, ps = round(8 ** 0.7, 6), 1.0
+    assert out["big"]["weight"] == pb / (pb + ps)
+    assert out["small"]["weight"] == ps / (pb + ps)
+    assert out["small"]["weight"] > 1 / 9  # up-sampled vs raw share
+    assert out["big"]["weight"] < 8 / 9
+    assert out["big"]["target_docs"] == int(out["big"]["weight"] * 9)
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-12
+
+
+def test_perplexity_buckets_ntile_sizes_and_order(spark):
+    """7 scoreable docs into k=3 buckets -> sizes (3,2,2) with NTILE
+    semantics; bucket NLL ranges are disjoint and ascending; sub-2-token
+    docs are excluded."""
+    from nlnieuwscrawler_spark.functions.text import perplexity_buckets
+
+    rows = [(i, " ".join(f"w{i}t{j}" for j in range(3 + i))) for i in range(7)]
+    rows += [(97, "solo"), (98, "  ")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sorted(perplexity_buckets(docs, k=3).collect(),
+                 key=lambda r: r["ppl_bucket"])
+    assert [r["ppl_bucket"] for r in out] == [1, 2, 3]
+    assert [r["n_docs"] for r in out] == [3, 2, 2]  # first N%k take ceil
+    assert sum(r["n_bigrams"] for r in out) == sum(3 + i - 1 for i in range(7))
+    assert out[0]["max_nll"] <= out[1]["min_nll"] <= out[1]["max_nll"]
+    assert out[1]["max_nll"] <= out[2]["min_nll"]

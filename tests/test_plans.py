@@ -240,3 +240,31 @@ def test_pagerank_step_broadcasts_ranks_narrow_exchange(spark):
     # the groupBy(dst) agg is partial/final (map-side combine before the
     # one hash exchange)
     assert "partial_sum" in plan or "partial" in plan.lower(), plan
+
+
+def test_quality_classifier_is_zero_shuffle_projection(spark):
+    """The hashed-linear classifier is a PURE per-row projection: no
+    Exchange of any kind, no join, no aggregate — the whole logit
+    (token transform + integer accumulation + division) evaluates
+    scan-side, so the op composes with any downstream filter for free."""
+    from nlnieuwscrawler_spark.functions.text import quality_classifier
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = quality_classifier(d)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_recrawl_schedule_no_global_sort(spark):
+    """recrawl's lag window partitions by key — the plan must contain NO
+    single-partition exchange (a global sort would serialize the log)."""
+    from nlnieuwscrawler_spark.operators.recrawl import recrawl_schedule
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = recrawl_schedule(e)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan
