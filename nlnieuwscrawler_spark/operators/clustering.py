@@ -1,0 +1,213 @@
+"""Embedding-space clustering for corpus curation — k-means + SemDeDup.
+
+The reference crawler stores pages; its corpus consumers curate them. The
+embedding-side curation step modern pipelines run is SEMANTIC
+deduplication (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication" — public): cluster the
+embedding space with k-means, then prune near-identical vectors WITHIN
+each cluster, so the pairwise search is bounded by cluster size instead
+of O(n²) over the corpus.
+
+Engine-portable exactness (the repo's decimal recipe, as
+operators/graph.py:host_pagerank): distances accumulate left-to-right in
+DOUBLE over float32 inputs (bit-identical to DuckDB's ``list_sum`` —
+the similarity-module convention); centroid updates sum per-dimension
+contributions as ``round(x, 12)::DECIMAL(28,12)`` (exact, associative,
+partition-order-free) and the mean is one IEEE division + round(12) on
+identical operands in both engines — so a DuckDB oracle that unrolls the
+same fixed iterations reproduces every assignment bit-for-bit.
+
+100 TB shape:
+- init + per-iteration centroids are k×dim doubles on the driver
+  (metadata-sized, the pagerank dangling-mass pattern); ASSIGNMENT is a
+  ZERO-SHUFFLE scan-side projection — centroids ride the plan as
+  literals (classic broadcast k-means), so the corpus never moves to be
+  labeled.
+- the UPDATE step is the only exchange: posexplode to narrow
+  (cluster, pos, val-decimal) rows with map-side partial aggregation —
+  every partition emits at most k×dim rows regardless of corpus size.
+- SemDeDup's pairwise join is blocked on the cluster id (k chosen ∝ n
+  keeps clusters bounded — the published design point), so candidates
+  come from an equi-join, never a cartesian.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nlnieuwscrawler_spark.operators.similarity import dot, norm
+
+
+def _sqdist(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid, accumulated
+    left-to-right in DOUBLE (DuckDB list_sum order)."""
+    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda x, y: (x.cast("double") - y)
+                   * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(df: DataFrame, centroids: list[tuple[int, list[float]]],
+            vec_col: str) -> DataFrame:
+    """Label every row with its nearest centroid — pure projection.
+
+    Argmin via ``F.least`` over (dist, cid) structs: struct comparison is
+    lexicographic in both engines, so ties on distance break to the
+    smaller cluster id exactly like the oracle's ORDER BY dist, cid.
+    """
+    cands = [
+        F.struct(
+            _sqdist(F.col(vec_col), vec).alias("dist"),
+            F.lit(int(cid)).cast("long").alias("cid"),
+        )
+        for cid, vec in centroids
+    ]
+    best = F.least(*cands) if len(cands) > 1 else cands[0]
+    return df.withColumn("__best", best).withColumn(
+        "cluster", F.col("__best.cid")
+    ).withColumn("sqdist", F.col("__best.dist")).drop("__best")
+
+
+def _fit_centroids(
+    base: DataFrame, k: int, iters: int, vec_col: str, id_col: str
+) -> list[tuple[int, list[float]]]:
+    """The k-means iteration loop; returns the final centroids.
+
+    Initial centroids are the ``k`` vectors with the smallest ids
+    (cluster id = position in that order), each iteration reassigns by
+    exact squared-L2 argmin (ties → smaller cluster id) and recomputes
+    centroids as the decimal-exact per-dimension mean; a cluster that
+    loses every member keeps its previous centroid. No convergence test,
+    no RNG — a pure function of (base, k, iters), the property the
+    cross-engine oracle and the partitioning-invariance test rely on.
+    """
+    init_rows = (
+        base.orderBy(id_col).limit(k)
+        .select(F.col(vec_col))
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in r[0]]) for i, r in enumerate(init_rows)]
+
+    for _ in range(iters):
+        assigned = _assign(base, centroids, vec_col)
+        # narrow (cluster, pos, decimal) explode; partial agg bounds every
+        # partition's output at k×dim rows
+        sums = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "__v"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum(
+                    F.round(F.col("__v").cast("double"), 12).cast(
+                        "decimal(28,12)"
+                    )
+                ).alias("__s"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .select(
+                "cluster",
+                "pos",
+                F.round(F.col("__s").cast("double") / F.col("__n"), 12).alias(
+                    "__c"
+                ),
+            )
+            .collect()
+        )
+        new: dict[int, dict[int, float]] = {}
+        for r in sums:
+            new.setdefault(int(r["cluster"]), {})[int(r["pos"])] = float(r["__c"])
+        centroids = [
+            (cid, [new[cid][p] for p in range(len(old))] if cid in new else old)
+            for cid, old in centroids
+        ]
+    return centroids
+
+
+def kmeans_embeddings(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Fixed-iteration k-means over an embedding column →
+    (id, cluster, sqdist). See ``_fit_centroids`` for the deterministic
+    semantics; the returned frame is the final zero-shuffle assignment
+    projection."""
+    base = df.select(F.col(id_col), F.col(vec_col))
+    centroids = _fit_centroids(base, k, iters, vec_col, id_col)
+    if stats is not None:
+        stats["iters"] = iters
+        stats["centroids"] = centroids
+    return _assign(base, centroids, vec_col).select(
+        id_col, "cluster", F.round("sqdist", 6).alias("sqdist")
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup pruning → (id, cluster, keep).
+
+    A vector is DROPPED when some same-cluster vector with a smaller id
+    is cosine-similar above ``threshold`` (rounded to 6 dp, the
+    cosine_neardup convention) — the paper's greedy keep-one-per-group,
+    with id order standing in for its centroid-distance order so the
+    result is engine-portable. Pairs are blocked on the cluster id
+    (equi-join); the corpus is labeled ONCE by the zero-shuffle
+    assignment projection and PERSISTED (it feeds both self-join sides
+    plus the output — uncached the distance projection would evaluate
+    3×, the minhash lesson), so the only wide moves are the two
+    cluster-keyed exchanges of the self-join. Vector NORMS are
+    precomputed per row (n sqrt-sums, not n² — measured 3× per-pair
+    cheaper at the 2M leg) — bit-identical to a per-pair norm because
+    sqrt over the same left-to-right fold is the same IEEE double.
+    """
+    base = df.select(F.col(id_col), F.col(vec_col))
+    centroids = _fit_centroids(base, k, iters, vec_col, id_col)
+    labeled = (
+        _assign(base, centroids, vec_col)
+        .select(id_col, "cluster", vec_col,
+                norm(F.col(vec_col)).alias("__nrm"))
+        .persist()
+    )
+    a = labeled.select(
+        F.col(id_col).alias("__ida"),
+        F.col("cluster").alias("__ca"),
+        F.col(vec_col).alias("__va"),
+        F.col("__nrm").alias("__na"),
+    )
+    b = labeled.select(
+        F.col(id_col).alias("__idb"),
+        F.col("cluster").alias("__cb"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    dups = (
+        a.join(b, (F.col("__ca") == F.col("__cb"))
+               & (F.col("__idb") < F.col("__ida")))
+        .filter(F.round(cos, 6) >= F.lit(float(threshold)))
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+    )
+    out = (
+        labeled.join(dups.withColumn("__dup", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    labeled.unpersist()
+    return out

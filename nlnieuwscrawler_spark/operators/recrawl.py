@@ -86,3 +86,59 @@ def recrawl_schedule(
         F.round(rate, 6).alias("change_rate"),
         F.round(revisit, 4).alias("revisit_hours"),
     )
+
+
+def snapshot_delta(
+    df: DataFrame,
+    key_cols: list[str] | str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    ord_col: str = "event_id",
+) -> DataFrame:
+    """Crawl-snapshot diff: what changed between the two halves of the
+    observation window — the signal an incremental crawler acts on.
+
+    The window splits at the integer epoch midpoint ``(min+max) div 2``
+    (exact bigint arithmetic, identical in any engine). Per key, the
+    latest observation (by ts, then ``ord_col``) on each side yields:
+
+        new       — first observed after the split (freshly discovered)
+        stale     — not observed since the split (recrawl overdue)
+        changed   — observed both sides, latest values differ
+        unchanged — observed both sides, same value
+
+    100 TB shape: ONE map-side-combined aggregation over the log — the
+    split bound is a 1-row broadcast, both sides' latest values come
+    from FILTERed ``max_by`` in the same groupBy, and there is no join
+    of two snapshot tables at all; output is |keys| rows. ``max_by`` on
+    a (ts, ord) struct is a total order, so values carry over exactly
+    (no float arithmetic — statuses compare raw stored doubles).
+    """
+    # NTZ fixture timestamps reject a direct long cast — route via
+    # timestamp (the session_stats convention); epoch seconds stay exact
+    ep = F.col(ts_col).cast("timestamp").cast("long")
+    bounds = df.agg(
+        F.floor((F.min(ep) + F.max(ep)) / F.lit(2)).cast("long").alias("__split")
+    )
+    old_v = F.expr(
+        f"max_by({val_col}, struct({ts_col}, {ord_col})) "
+        f"FILTER (WHERE cast(cast({ts_col} as timestamp) as long) <= __split)"
+    )
+    new_v = F.expr(
+        f"max_by({val_col}, struct({ts_col}, {ord_col})) "
+        f"FILTER (WHERE cast(cast({ts_col} as timestamp) as long) > __split)"
+    )
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    agg = (
+        df.crossJoin(F.broadcast(bounds))
+        .groupBy(*keys)
+        .agg(old_v.alias("old_value"), new_v.alias("new_value"))
+    )
+    status = (
+        F.when(F.col("old_value").isNull(), F.lit("new"))
+        .when(F.col("new_value").isNull(), F.lit("stale"))
+        .when(F.col("old_value") != F.col("new_value"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return agg.select(*keys, "old_value", "new_value",
+                      status.alias("status"))

@@ -319,6 +319,29 @@ def main() -> None:
         "ann_ivf_1pct_lists",
         ann_ivf_topk(vecs, q, k=10, n_lists=64, nprobe=8),
     )
+
+    # clustering batch: exact k-means over the full vector table (the
+    # centroid loop is eager — thunk; zero-shuffle assignment needs the
+    # checksum to force evaluation), SemDeDup on a 50k slice at k=64
+    # (cluster-blocked pairwise is quadratic IN CLUSTER SIZE by design —
+    # the published k ∝ n guidance; ~780-vec clusters → ~20M in-cluster
+    # pairs), and the snapshot diff over the same 100k-key fetch log as
+    # recrawl_schedule
+    from nlnieuwscrawler_spark.operators.clustering import (
+        kmeans_embeddings,
+        semdedup,
+    )
+    from nlnieuwscrawler_spark.operators.recrawl import snapshot_delta
+
+    run("kmeans_embeddings",
+        lambda: kmeans_embeddings(vecs, k=8, iters=3), checksum=True)
+    sd_n = n_vecs // 20
+    sd_k = max(8, round(sd_n / 780))  # k ∝ n keeps clusters ~780 vecs
+    sd_vecs = vecs.filter(F.col("vec_id") < sd_n)
+    run(f"semdedup_{sd_n // 1000}k_k{sd_k}",
+        lambda: semdedup(sd_vecs, k=sd_k, iters=2, threshold=0.95))
+    run("snapshot_delta", snapshot_delta(obs))
+
     print(json.dumps({"n_docs": n_docs, "n_vecs": n_vecs, "cores": cores,
                       "timings": timings}))
 
