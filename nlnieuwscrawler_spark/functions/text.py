@@ -941,3 +941,37 @@ def perplexity_buckets(
             F.max("avg_nll").alias("max_nll"),
         )
     )
+
+
+def dedup_lines(df, text_col: str = "text", id_col: str = "doc_id"):
+    """RefinedWeb/CCNet-style INTRA-document line dedup: within each
+    document, drop every line that already appeared verbatim earlier in
+    the SAME document, rebuild the text from the survivors, and report
+    per-doc kept/dropped counts. (The corpus-GLOBAL variant — C4's
+    repeated-span removal across documents — is ``dedup_spans``; this is
+    its cheap local complement, and boilerplate like repeated nav menus
+    or cookie banners inside one page is exactly what it removes.)
+
+    100 TB shape: a pure per-row projection — ``filter``/
+    ``array_position`` higher-order functions inside whole-stage
+    codegen, ZERO shuffle, ZERO joins; the corpus is read once and
+    never moved. Per-doc cost is O(L²) in the LINE count (array_position
+    scans from the front), which is microseconds for real pages (tens of
+    lines) — the trade for staying shuffle-free; a doc with pathological
+    line counts is bounded by Gopher gates upstream.
+
+    Keep rule: line i survives iff its FIRST occurrence index is i
+    (1-based both in Spark's ``array_position`` and DuckDB's
+    ``list_position``, so the oracle twin is literal). Exact match —
+    no normalization — matching CCNet's hash-of-raw-line dedup unit.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, "\n").alias("text_dedup"),
+    )

@@ -211,3 +211,56 @@ def crawl_depth(
         stats["rounds"] = len(round_secs)
         stats["round_secs"] = round_secs
     return dist
+
+
+def anchor_rollup(
+    links: DataFrame,
+    target_col: str = "dst",
+    anchor_col: str = "anchor",
+    src_col: str = "src",
+) -> DataFrame:
+    """Per-target anchor-text aggregation — the classic web-corpus
+    enrichment: a target page is described by the anchor texts of the
+    links POINTING AT it (Brin & Page 1998 §2.2; anchor fields in every
+    open web corpus since). The crawler's link extractor (O13) emits
+    ``(src, dst, anchor)``; this rolls those up into the per-target
+    signal table a ranker or training-data builder joins against.
+
+    Output per target: in-link count, distinct-source count, distinct-
+    anchor count, and the most common anchor (ties broken by the
+    lexicographically SMALLEST anchor — a total order, so the pick is
+    engine-portable).
+
+    100 TB shape: two narrow hash aggregations and one equi-join on the
+    target key, all map-side combined — (target, anchor) pair counts
+    first (this also bounds the top-anchor window's partition to the
+    DISTINCT anchors of one target, not its raw in-links, so a
+    1M-in-link hub with 10k distinct anchors ranks over 10k rows), then
+    the per-target rollup; anchors are short strings, the fat source
+    pages never enter. The window re-exchanges by target alone (hash
+    partitioning on (target, anchor) does not co-locate a target's
+    groups), which is the correct, narrow move.
+    """
+    t, a, s = F.col(target_col), F.col(anchor_col), F.col(src_col)
+    pair = links.groupBy(t.alias("host"), a.alias("anchor")).agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("host").orderBy(
+            F.col("__cnt").desc(), F.col("anchor").asc()
+        )
+    )
+    top = (
+        pair.withColumn("__rn", rn)
+        .filter(F.col("__rn") == 1)
+        .select("host", F.col("anchor").alias("top_anchor"),
+                F.col("__cnt").alias("top_cnt"))
+    )
+    roll = links.groupBy(t.alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.countDistinct(s).cast("long").alias("n_sources"),
+        F.countDistinct(a).cast("long").alias("n_anchors"),
+    )
+    return roll.join(top, "host")

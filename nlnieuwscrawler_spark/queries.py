@@ -3214,6 +3214,133 @@ FROM a ORDER BY user_id, page
 """
 
 
+def q_dedup_lines(spark, sf_dir):
+    """Intra-document line dedup over a deterministic 5-line layout
+    planted from each doc's text (three 40-char windows, windows 1 and 2
+    repeated — duplicates guaranteed in EVERY doc, and short docs yield
+    repeated empty lines, pinning the degenerate case too); identical
+    substring arithmetic in DuckDB (functions/text.py:dedup_lines)."""
+    from nlnieuwscrawler_spark.functions.text import dedup_lines
+
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    lined = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring(t, 1, 40),
+            F.substring(t, 41, 40),
+            F.substring(t, 1, 40),
+            F.substring(t, 81, 40),
+            F.substring(t, 41, 40),
+        ).alias("text"),
+    )
+    return dedup_lines(lined).orderBy("doc_id")
+
+
+ORACLE_DEDUP_LINES = """
+WITH d AS (
+  SELECT doc_id,
+         concat_ws(chr(10), substr(text, 1, 40), substr(text, 41, 40),
+                   substr(text, 1, 40), substr(text, 81, 40),
+                   substr(text, 41, 40)) AS t
+  FROM documents
+),
+l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d)
+SELECT doc_id, len(ls)::BIGINT AS n_lines,
+  len(list_filter(ls, (x, i) -> list_position(ls, x) = i))::BIGINT AS n_kept,
+  array_to_string(list_filter(ls, (x, i) -> list_position(ls, x) = i),
+                  chr(10)) AS text_dedup
+FROM l ORDER BY doc_id
+"""
+
+
+def q_anchor_rollup(spark, sf_dir):
+    """Per-target anchor-text aggregation over a deterministic link
+    graph: every non-empty doc emits 3 links, target host =
+    md5('a'||j||doc_id) % 20 and anchor = an md5-picked token FROM THE
+    DOC'S OWN TEXT (shared corpus vocabulary → genuine anchor collisions
+    across sources, so top_anchor counts are non-trivial); identical
+    md5/index arithmetic in DuckDB (operators/graph.py:anchor_rollup)."""
+    from nlnieuwscrawler_spark.functions.text import tokens_col_text
+    from nlnieuwscrawler_spark.operators.graph import anchor_rollup
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col_text(F.col("text"))
+
+    def h(salt, mod):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+        )
+
+    base = d.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", toks.alias("__toks")
+    )
+    links = base.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        h(f"a{j}", 20).alias("dst"),
+                        F.element_at(
+                            F.col("__toks"),
+                            (h(f"w{j}", F.size("__toks").cast("long")) + 1).cast(
+                                "int"
+                            ),
+                        ).alias("anchor"),
+                    )
+                    for j in range(3)
+                ]
+            )
+        ).alias("l"),
+    ).select("src", "l.dst", "l.anchor")
+    return anchor_rollup(links).orderBy("host")
+
+
+ORACLE_ANCHOR_ROLLUP = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE len(trim(text)) > 0
+),
+links AS (
+  SELECT doc_id AS src,
+    (('0x' || substr(md5('a' || j || doc_id::VARCHAR), 1, 4))::UBIGINT
+     % 20)::BIGINT AS dst,
+    toks[((('0x' || substr(md5('w' || j || doc_id::VARCHAR), 1, 4))::UBIGINT
+           % len(toks)) + 1)::BIGINT] AS anchor
+  FROM d CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+),
+pair AS (
+  SELECT dst AS host, anchor, count(*) AS cnt
+  FROM links GROUP BY dst, anchor
+),
+top AS (
+  SELECT host, anchor AS top_anchor, cnt AS top_cnt,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY cnt DESC, anchor ASC) AS rn
+  FROM pair
+)
+SELECT r.host, r.n_links, r.n_sources, r.n_anchors, t.top_anchor, t.top_cnt
+FROM (
+  SELECT dst AS host, count(*)::BIGINT AS n_links,
+         count(DISTINCT src)::BIGINT AS n_sources,
+         count(DISTINCT anchor)::BIGINT AS n_anchors
+  FROM links GROUP BY dst
+) r JOIN top t ON r.host = t.host AND t.rn = 1
+ORDER BY r.host
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3253,6 +3380,7 @@ FROM a ORDER BY user_id, page
 #   dedup: MinHash+LSH ........ minhash_lsh_pairs
 #   dedup: SimHash ............ simhash_pairs
 #   dedup: clustering ......... dedup_components, dedup_retention
+#   dedup: intra-doc lines .... dedup_lines
 #   similarity: ANN ........... ann_bruteforce, ann_lsh, ann_ivf
 #   similarity: cosine dup .... cosine_neardup
 #   similarity: clustering .... kmeans_embeddings, semdedup
@@ -3264,6 +3392,7 @@ FROM a ORDER BY user_id, page
 #   curation: model filter .... quality_classifier, perplexity_buckets
 #   curation: domain mix ...... domain_mix
 #   crawl prioritization ...... host_pagerank, crawl_depth
+#   link graph: anchors ....... anchor_rollup
 #   crawl scheduling .......... recrawl_schedule, snapshot_delta
 #   crawl pipeline (O1-O20) ... crawl_epoch
 #
@@ -3313,20 +3442,23 @@ FROM a ORDER BY user_id, page
 #     semdedup (cluster-blocked cosine pruning) and snapshot_delta
 #     (epoch-midpoint crawl diff) takes the seats of
 #     top_revenue_orders, region_revenue and window_topk_per_customer
-#     (r1-green trivial relational).
-#     Round 6 should cycle the 30 currently-out queries back in.
+#     (r1-green trivial relational); the web-graph batch dedup_lines
+#     (intra-doc line dedup, zero-shuffle) and anchor_rollup (per-target
+#     anchor aggregation) takes the seats of asof_latest_event and
+#     range_join (r1/r2-green, driver-graded every round since).
+#     Round 6 should cycle the 32 currently-out queries back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup": q_semdedup,
     "snapshot_delta": q_snapshot_delta,
-    "asof_latest_event": q_asof_latest_event,
+    "dedup_lines": q_dedup_lines,
+    "anchor_rollup": q_anchor_rollup,
     "asof_join_left": q_asof_join_left,
     "dedup_exact": q_dedup_exact,
     "dedup_spans": q_dedup_spans,
     "lm_bigram_score": q_lm_bigram_score,
     "perplexity_buckets": q_perplexity_buckets,
-    "range_join": q_range_join,
     "udtf_tokens": q_udtf_tokens,
     "python_datasource": q_python_datasource,
     "python_stream_source": q_python_stream_source,
@@ -3368,6 +3500,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_bigrams": q_pmi_bigrams,
     # --- positions 51+: oracle-backed but outside the driver's 50-entry
     # window this round (rotation policy above)
+    "asof_latest_event": q_asof_latest_event,
+    "range_join": q_range_join,
     "top_revenue_orders": q_top_revenue_orders,
     "region_revenue": q_region_revenue,
     "window_topk_per_customer": q_window_topk_per_customer,
@@ -3494,6 +3628,8 @@ ORACLE: dict[str, str] = {
     "kmeans_embeddings": ORACLE_KMEANS,
     "semdedup": ORACLE_SEMDEDUP,
     "snapshot_delta": ORACLE_SNAPSHOT_DELTA,
+    "dedup_lines": ORACLE_DEDUP_LINES,
+    "anchor_rollup": ORACLE_ANCHOR_ROLLUP,
     "source_quality": ORACLE_SOURCE_QUALITY,
     "source_token_drift": ORACLE_SOURCE_TOKEN_DRIFT,
     "pii_scrub": ORACLE_PII_SCRUB,

@@ -333,6 +333,38 @@ def main() -> None:
     )
     from nlnieuwscrawler_spark.operators.recrawl import snapshot_delta
 
+    # web-graph batch: intra-doc line dedup is a pure projection over the
+    # full corpus (checksum forces the rebuilt text); anchor_rollup runs
+    # over 3 links/doc synthesized the same way as the registry query
+    from nlnieuwscrawler_spark.functions.text import dedup_lines
+    from nlnieuwscrawler_spark.operators.graph import anchor_rollup
+
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 40), F.substring("text", 41, 40),
+            F.substring("text", 1, 40), F.substring("text", 81, 40),
+            F.substring("text", 41, 40),
+        ).alias("text"),
+    )
+    run("dedup_lines", dedup_lines(lined), checksum=True)
+
+    def _h(salt, mod):
+        return F.pmod(F.xxhash64(F.lit(salt), "doc_id"), F.lit(mod))
+
+    links = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(*[
+            F.struct(
+                _h(f"a{j}", 1000).alias("dst"),
+                F.substring("text", 1, 12).alias("anchor"),
+            )
+            for j in range(3)
+        ])).alias("l"),
+    ).select("src", "l.dst", "l.anchor")
+    run("anchor_rollup", anchor_rollup(links))
+
     run("kmeans_embeddings",
         lambda: kmeans_embeddings(vecs, k=8, iters=3), checksum=True)
     sd_n = n_vecs // 20

@@ -440,3 +440,39 @@ def test_perplexity_buckets_ntile_sizes_and_order(spark):
     assert sum(r["n_bigrams"] for r in out) == sum(3 + i - 1 for i in range(7))
     assert out[0]["max_nll"] <= out[1]["min_nll"] <= out[1]["max_nll"]
     assert out[1]["max_nll"] <= out[2]["min_nll"]
+
+
+def test_dedup_lines_pinned_cases(spark):
+    from nlnieuwscrawler_spark.functions.text import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\na\nc\nb"),   # interleaved repeats
+            (2, "solo"),             # single line
+            (3, ""),                 # empty text = one empty line
+            (4, "a\n\nb\n\na"),     # repeated EMPTY lines dedup too
+            (5, "x\nx\nx\nx"),      # all same
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["text_dedup"])
+        for r in dedup_lines(df).collect()
+    }
+    assert got[1] == (5, 3, "a\nb\nc")
+    assert got[2] == (1, 1, "solo")
+    assert got[3] == (1, 1, "")
+    assert got[4] == (5, 3, "a\n\nb")
+    assert got[5] == (4, 1, "x")
+
+
+def test_dedup_lines_zero_shuffle_plan(spark):
+    """The 100 TB claim: intra-doc line dedup is a pure projection —
+    the executed plan must contain NO Exchange at all."""
+    from nlnieuwscrawler_spark.functions.text import dedup_lines
+
+    df = spark.createDataFrame(
+        [(i, f"l{i}\nl{i}") for i in range(10)], "doc_id long, text string"
+    )
+    plan = dedup_lines(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

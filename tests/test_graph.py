@@ -120,3 +120,38 @@ def test_crawl_depth_max_depth_cutoff_and_fallback_parity(spark):
         _edges(spark, pairs), n_nodes=7, seeds=[0], broadcast_frontier=False
     ).orderBy("host").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_anchor_rollup_counts_and_tiebreak(spark):
+    from nlnieuwscrawler_spark.operators.graph import anchor_rollup
+
+    links = spark.createDataFrame(
+        [
+            (1, 10, "nieuws"),
+            (2, 10, "nieuws"),
+            (3, 10, "sport"),
+            (2, 10, "sport"),   # src 2 links host 10 twice
+            (1, 11, "weer"),
+            (2, 11, "kaart"),   # tie at cnt=1 -> lexicographic min wins
+        ],
+        "src long, dst long, anchor string",
+    )
+    got = {r["host"]: r.asDict() for r in anchor_rollup(links).collect()}
+    assert got[10]["n_links"] == 4
+    assert got[10]["n_sources"] == 3
+    assert got[10]["n_anchors"] == 2
+    assert (got[10]["top_anchor"], got[10]["top_cnt"]) == ("nieuws", 2)
+    assert (got[11]["top_anchor"], got[11]["top_cnt"]) == ("kaart", 1)
+
+
+def test_anchor_rollup_no_bnlj(spark):
+    """Rollup-to-top join must stay an equi-join (hash/broadcast), never
+    a BroadcastNestedLoopJoin / cartesian."""
+    from nlnieuwscrawler_spark.operators.graph import anchor_rollup
+
+    links = spark.createDataFrame(
+        [(i, i % 3, f"a{i % 5}") for i in range(30)],
+        "src long, dst long, anchor string",
+    )
+    plan = anchor_rollup(links)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
