@@ -217,6 +217,116 @@ def ngram_jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+    n: int = 3,
+    threshold: float = 0.8,
+    eager: bool = True,
+) -> DataFrame:
+    """All ORDERED (container, contained) pairs with n-gram containment
+    ``|grams(contained) ∩ grams(container)| / |grams(contained)| ≥ τ``,
+    within a block — the syndication detector: a news site republishing
+    a wire story (or an excerpt of one) is contained in the original
+    even when the Jaccard similarity is low because the container is
+    much longer. Near-identical docs yield BOTH directions by design.
+
+    Same prefix-filtering discipline as :func:`ngram_jaccard_pairs`, in
+    its ASYMMETRIC form (Chaudhuri et al. 2006's overlap bound): if the
+    overlap is ≥ ⌈τ·|B|⌉ then B must share a gram from its first
+    ``|B| - ⌈τ·|B|⌉ + 1`` elements under the global order with A —
+    so candidates come from an equi-join of the CONTAINED side's prefix
+    grams against the container side's FULL gram index. The order is
+    ascending document frequency, which is what keeps the full-index
+    side safe: prefix grams are each doc's RAREST shingles, so the
+    per-token fan-out on the index side is bounded by those grams'
+    (small) document frequency — a hot boilerplate gram never enters a
+    prefix. A size gate (``|A| ≥ τ·|B|``, since the overlap can never
+    exceed |A|) prunes before verification; only survivors pay the
+    array_intersect. Shuffles are keyed by gram / id, linear in input ±
+    candidates — the all-pairs form this replaces is O(block²).
+    Output: container, contained, containment (round 6).
+    """
+    if threshold <= 0:
+        raise ValueError("prefix filtering requires threshold > 0")
+    ex = _spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
+            F.col(text_col),
+        )
+    ).select(
+        "id",
+        "blk",
+        F.explode(
+            F.array_distinct(
+                F.transform(word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s))
+            )
+        ).alias("tok"),
+    ).persist()
+    freq = ex.groupBy("tok").agg(F.count("*").alias("freq"))
+    g = (
+        ex.join(freq, "tok")
+        .groupBy("id", "blk")
+        .agg(F.array_sort(F.collect_list(F.struct("freq", "tok"))).alias("__o"))
+        .select(
+            "id", "blk",
+            F.transform("__o", lambda s: s["tok"]).alias("grams"),
+        )
+        .persist()
+    )
+    prefix_len = (
+        F.size("grams")
+        - F.ceil(F.lit(threshold) * F.size("grams")).cast("int")
+        + F.lit(1)
+    )
+    contained = g.select(
+        F.col("id").alias("doc_b"), "blk", F.size("grams").alias("sz_b"),
+        F.explode(F.slice(F.col("grams"), F.lit(1), prefix_len)).alias("tok"),
+    )
+    index = g.select(
+        F.col("id").alias("doc_a"), "blk", F.size("grams").alias("sz_a"),
+        F.explode("grams").alias("tok"),
+    )
+    cand = (
+        contained.join(index, on=["blk", "tok"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .filter(F.col("sz_a") >= F.lit(threshold) * F.col("sz_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ga = g.select(F.col("id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = g.select(F.col("id").alias("doc_b"), F.col("grams").alias("gb"))
+    score = (
+        F.size(F.array_intersect(F.col("ga"), F.col("gb"))).cast("double")
+        / F.size("gb")
+    )
+    out = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            F.col("doc_a").alias("container"),
+            F.col("doc_b").alias("contained"),
+            F.round(score, 6).alias("containment"),
+        )
+        # threshold on the ROUNDED score, the ngram_jaccard_pairs / oracle
+        # convention (a 6-dp boundary case must fall the same way in both
+        # engines)
+        .filter(F.col("containment") >= threshold)
+    )
+    if not eager:
+        # lazy form for plan inspection (tests) — caller owns the caches'
+        # lifetime; the default eager path below is the production one
+        return out
+    # eager for the same cache-lifecycle reason as ngram_jaccard_pairs
+    out = out.localCheckpoint(eager=True)
+    g.unpersist()
+    ex.unpersist()
+    return out
+
+
 def dedup_retention(
     docs: DataFrame,
     pairs: DataFrame,

@@ -3341,6 +3341,60 @@ ORDER BY r.host
 """
 
 
+def q_containment(spark, sf_dir):
+    """Syndication detection via asymmetric n-gram containment: the
+    corpus is documents PLUS a planted 20-token excerpt of every doc
+    with ≥ 25 tokens (id + 100000, same lang — a wire-copy republish,
+    guaranteed containment 1.0), so pairs exist at every SF; organic
+    near-dup pairs surface too (operators/dedup.py:containment_pairs)."""
+    from nlnieuwscrawler_spark.functions.text import tokens_col_text
+    from nlnieuwscrawler_spark.operators.dedup import containment_pairs
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col_text(F.col("text"))
+    excerpt = d.filter(F.size(toks) >= 25).select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, 20), " ").alias("text"),
+        "lang",
+    )
+    corpus = d.select("doc_id", "text", "lang").unionByName(excerpt)
+    return containment_pairs(corpus, n=3, threshold=0.8).orderBy(
+        "container", "contained"
+    )
+
+
+ORACLE_CONTAINMENT = """
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(list_slice(
+           string_split_regex(trim(lower(text)), '\\s+'), 1, 20), ' ') AS text,
+         lang
+  FROM documents
+  WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 25
+    AND len(trim(text)) > 0
+),
+g AS (
+  SELECT doc_id, lang,
+    list_distinct(list_transform(
+      range(1, greatest(len(string_split_regex(trim(lower(text)),'\\s+'))-2,0)+1),
+      i -> string_split_regex(trim(lower(text)),'\\s+')[i] || ' ' ||
+           string_split_regex(trim(lower(text)),'\\s+')[i+1] || ' ' ||
+           string_split_regex(trim(lower(text)),'\\s+')[i+2])) AS grams
+  FROM corpus
+)
+SELECT container, contained, containment FROM (
+  SELECT a.doc_id AS container, b.doc_id AS contained,
+         round(len(list_filter(b.grams, x -> list_contains(a.grams, x)))::DOUBLE
+               / len(b.grams), 6) AS containment
+  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+  WHERE len(b.grams) > 0
+) WHERE containment >= 0.8
+ORDER BY container, contained
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3377,6 +3431,7 @@ ORDER BY r.host
 #   fingerprinting ............ winnow_fingerprints
 #   dedup: exact .............. dedup_exact, dedup_incremental
 #   dedup: n-gram Jaccard ..... ngram_jaccard_pairs
+#   dedup: containment ........ containment_pairs (syndication)
 #   dedup: MinHash+LSH ........ minhash_lsh_pairs
 #   dedup: SimHash ............ simhash_pairs
 #   dedup: clustering ......... dedup_components, dedup_retention
@@ -3445,8 +3500,10 @@ ORDER BY r.host
 #     (r1-green trivial relational); the web-graph batch dedup_lines
 #     (intra-doc line dedup, zero-shuffle) and anchor_rollup (per-target
 #     anchor aggregation) takes the seats of asof_latest_event and
-#     range_join (r1/r2-green, driver-graded every round since).
-#     Round 6 should cycle the 32 currently-out queries back in.
+#     range_join (r1/r2-green, driver-graded every round since), and
+#     containment_pairs (asymmetric n-gram syndication detection) takes
+#     the seat of udtf_tokens (r2-green, graded r2-r4).
+#     Round 6 should cycle the 33 currently-out queries back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -3454,12 +3511,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_delta": q_snapshot_delta,
     "dedup_lines": q_dedup_lines,
     "anchor_rollup": q_anchor_rollup,
+    "containment_pairs": q_containment,
     "asof_join_left": q_asof_join_left,
     "dedup_exact": q_dedup_exact,
     "dedup_spans": q_dedup_spans,
     "lm_bigram_score": q_lm_bigram_score,
     "perplexity_buckets": q_perplexity_buckets,
-    "udtf_tokens": q_udtf_tokens,
     "python_datasource": q_python_datasource,
     "python_stream_source": q_python_stream_source,
     "stream_stream_join": q_stream_stream_join,
@@ -3502,6 +3559,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # window this round (rotation policy above)
     "asof_latest_event": q_asof_latest_event,
     "range_join": q_range_join,
+    "udtf_tokens": q_udtf_tokens,
     "top_revenue_orders": q_top_revenue_orders,
     "region_revenue": q_region_revenue,
     "window_topk_per_customer": q_window_topk_per_customer,
@@ -3630,6 +3688,7 @@ ORACLE: dict[str, str] = {
     "snapshot_delta": ORACLE_SNAPSHOT_DELTA,
     "dedup_lines": ORACLE_DEDUP_LINES,
     "anchor_rollup": ORACLE_ANCHOR_ROLLUP,
+    "containment_pairs": ORACLE_CONTAINMENT,
     "source_quality": ORACLE_SOURCE_QUALITY,
     "source_token_drift": ORACLE_SOURCE_TOKEN_DRIFT,
     "pii_scrub": ORACLE_PII_SCRUB,

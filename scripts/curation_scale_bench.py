@@ -350,6 +350,47 @@ def main() -> None:
     )
     run("dedup_lines", dedup_lines(lined), checksum=True)
 
+    # syndication containment: eager op (localCheckpoint inside) — thunk.
+    # NOT run on the word-soup corpus: its 40-word vocabulary makes every
+    # trigram's document frequency ≈ n/1000, which defeats prefix
+    # filtering for ANY exact gram self-join (measured: 56 s at 100k,
+    # diverges at 2M) — that corpus is adversarial by construction, which
+    # is why the 2M near-dup datapoint is minhash (signature-based).
+    # Real webtext has ~10^6-token vocabularies where prefix grams are
+    # genuinely rare, so the leg runs on a 50k-vocab variant (same
+    # skeleton, same 1%-planted near-dups — detected in BOTH directions,
+    # pairs ≈ 2× planted).
+    from nlnieuwscrawler_spark.operators.dedup import containment_pairs
+
+    wide_path = f"/tmp/nlnc_synd_docs_{n_docs}"
+    if not os.path.exists(os.path.join(wide_path, "_SUCCESS")):
+        n_words = 60
+        wtoks = F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(
+                    F.xxhash64(
+                        F.when(
+                            (F.pmod(F.col("doc_id"), F.lit(97)) == 1)
+                            & (i < n_words - 1),
+                            F.col("doc_id") - 1,
+                        ).otherwise(F.col("doc_id")),
+                        i,
+                    ),
+                    F.lit(50000),
+                ),
+            ),
+        )
+        (
+            spark.range(n_docs).withColumnRenamed("id", "doc_id")
+            .select("doc_id", F.array_join(wtoks, " ").alias("text"))
+            .write.mode("overwrite").parquet(wide_path)
+        )
+    wide = spark.read.parquet(wide_path)
+    run("containment_pairs_50kvocab",
+        lambda: containment_pairs(wide, block_col=None, threshold=0.8))
+
     def _h(salt, mod):
         return F.pmod(F.xxhash64(F.lit(salt), "doc_id"), F.lit(mod))
 

@@ -287,3 +287,102 @@ def test_ann_ivf_nprobe_sweep_recall(spark, embeddings):
     assert vals == sorted(vals), f"recall not monotone in nprobe: {recalls}"
     assert recalls[12] >= 0.8, f"nprobe=12 recall below 0.8: {recalls}"
     assert recalls[16] == 1.0, f"exhaustive probing must be exact: {recalls}"
+
+
+def test_containment_pairs_excerpt_and_asymmetry(spark):
+    """A short excerpt is contained in its source (containment 1.0) but
+    NOT vice versa; unrelated docs never pair; near-identical docs pair
+    in BOTH directions."""
+    long = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    df = spark.createDataFrame(
+        [
+            (1, long, "nl"),
+            (2, "w1 w2 w3 w4 w5 w6", "nl"),        # prefix excerpt of 1
+            (3, "x1 x2 x3 x4 x5 x6 x7 x8", "nl"),  # unrelated
+            (4, long + " w13", "nl"),               # near-identical to 1
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        (r["container"], r["contained"]): r["containment"]
+        for r in dedup.containment_pairs(df, threshold=0.8).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert (2, 1) not in got           # 1 is NOT contained in 2
+    assert got[(4, 1)] == 1.0          # all of 1's grams are in 4
+    assert (1, 4) in got               # 10/11 = 0.909091 >= 0.8
+    assert got[(1, 4)] == round(10 / 11, 6)
+    assert not any(3 in p for p in got)
+
+
+def test_containment_pairs_blocking_and_threshold(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h", "nl"),
+            (2, "a b c d e f", "en"),   # contained but different block
+            (3, "a b c d e f", "nl"),   # contained, same block
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        (r["container"], r["contained"])
+        for r in dedup.containment_pairs(df, threshold=0.8).collect()
+    }
+    assert (1, 3) in got and (1, 2) not in got
+    with pytest.raises(ValueError):
+        dedup.containment_pairs(df, threshold=0.0)
+
+
+def test_containment_pairs_matches_naive_allpairs(spark):
+    """Prefix-filtered candidates + verify ≡ the naive all-pairs form on
+    a corpus with planted excerpts, partial overlaps, and short docs."""
+    rows = []
+    base = [f"t{i}" for i in range(30)]
+    for d in range(8):
+        toks = [f"{w}d{d % 4}" if i % 3 == 0 else w
+                for i, w in enumerate(base)]
+        rows.append((d, " ".join(toks), "nl"))
+        rows.append((100 + d, " ".join(toks[: 10 + d]), "nl"))  # excerpts
+    rows.append((200, "a b", "nl"))  # sub-n-token: no grams at all
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    fast = {
+        (r["container"], r["contained"]): r["containment"]
+        for r in dedup.containment_pairs(df, threshold=0.6).collect()
+    }
+    g = df.select(
+        "doc_id", "lang",
+        dedup.word_ngrams(F.col("text"), 3).alias("gs"),
+    ).filter(F.size("gs") > 0)
+    a = g.select(F.col("doc_id").alias("ca"), F.col("lang").alias("l"),
+                 F.col("gs").alias("ga"))
+    b = g.select(F.col("doc_id").alias("cb"), F.col("lang").alias("l"),
+                 F.col("gs").alias("gb"))
+    naive = (
+        a.join(b, "l")
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            "ca", "cb",
+            F.round(
+                F.size(F.array_intersect("ga", "gb")).cast("double")
+                / F.size("gb"), 6,
+            ).alias("c"),
+        )
+        .filter(F.col("c") >= 0.6)
+    )
+    slow = {(r["ca"], r["cb"]): r["c"] for r in naive.collect()}
+    assert fast == slow
+
+
+def test_containment_pairs_no_bnlj_plan(spark):
+    """Inspect the LAZY form (eager=True returns a checkpoint scan whose
+    plan is vacuously clean): candidates must come from equi-joins only."""
+    df = spark.createDataFrame(
+        [(i, f"w{i} a b c d e f g h", "nl") for i in range(12)],
+        "doc_id long, text string, lang string",
+    )
+    out = dedup.containment_pairs(df, threshold=0.8, eager=False)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    spark.catalog.clearCache()  # lazy form leaves the internal caches live
