@@ -2826,10 +2826,12 @@ def q_host_pagerank(spark, sf_dir):
     return host_pagerank(edges, n_nodes=20, iters=5).orderBy("host")
 
 
-def _pagerank_oracle(n: int = 20, iters: int = 5) -> str:
+def _pagerank_oracle(n: int = 20, iters: int = 5, cte_only: bool = False) -> str:
     """Unrolled fixed-iteration PageRank CTE chain, arithmetic-identical
     to operators/graph.py:host_pagerank (explicit ::DOUBLE casts so
-    DuckDB's decimal-literal folding can't diverge from IEEE doubles)."""
+    DuckDB's decimal-literal folding can't diverge from IEEE doubles).
+    ``cte_only=True`` returns just the WITH chain (final ranks in
+    ``r{iters}``) so composites — ORACLE_PLAN_CRAWL — can extend it."""
     parts = [f"""
 WITH e AS (
   SELECT DISTINCT src, dst FROM (
@@ -2859,7 +2861,8 @@ r{i} AS (
                + 0.85::DOUBLE * (coalesce(c.s, 0)::DOUBLE + d.dm / {n}), 12)
            AS rank
   FROM nodes n LEFT JOIN c{i} c ON n.host = c.host CROSS JOIN d{i} d)""")
-    parts.append(f"\nSELECT host, rank FROM r{iters} ORDER BY host")
+    if not cte_only:
+        parts.append(f"\nSELECT host, rank FROM r{iters} ORDER BY host")
     return "".join(parts)
 
 
@@ -3395,6 +3398,111 @@ ORDER BY container, contained
 """
 
 
+def q_plan_crawl(spark, sf_dir):
+    """Crawl-budget composite: PageRank over the deterministic 20-host
+    doc link graph × Cho/Garcia-Molina change rate over events (host =
+    md5('h'||user_id) % 20) × per-host quality (Dutch-doc fraction,
+    host = md5('q'||doc_id) % 20) → largest-remainder integer quotas
+    summing EXACTLY to budget=5000
+    (operators/planner.py:plan_crawl)."""
+    from nlnieuwscrawler_spark.operators.planner import plan_crawl
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "events")
+
+    def h(col, salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col(col).cast("string"))), 1, 4
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 20
+        )
+
+    edges = d.select(
+        h("doc_id", "s").alias("src"), h("doc_id", "d").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    obs = e.select(h("user_id", "h").alias("host"), "ts", "value", "event_id")
+    quality = d.groupBy(h("doc_id", "q").alias("host")).agg(
+        F.round(
+            F.sum((F.col("lang") == "nl").cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("qscore")
+    )
+    return plan_crawl(
+        edges, obs, quality, n_hosts=20, budget=5000, iters=5
+    ).orderBy("host")
+
+
+ORACLE_PLAN_CRAWL = _pagerank_oracle(20, 5, cte_only=True) + """,
+m AS (
+  SELECT (('0x' || substr(md5('h' || user_id::VARCHAR),1,4))::UBIGINT
+          % 20)::BIGINT AS host, ts, value,
+         CASE WHEN lag(value) OVER w IS NOT NULL
+                   AND value <> lag(value) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (
+    PARTITION BY (('0x' || substr(md5('h' || user_id::VARCHAR),1,4))::UBIGINT
+                  % 20)::BIGINT
+    ORDER BY ts, event_id)
+),
+rr AS (
+  SELECT host,
+         CASE WHEN sum(chg) > 0
+                   AND (epoch(max(ts)) - epoch(min(ts))) / 3600.0 > 0.0
+              THEN round(sum(chg)::DOUBLE
+                         / ((epoch(max(ts)) - epoch(min(ts))) / 3600.0), 6)
+              ELSE 0.0::DOUBLE END AS change_rate
+  FROM m GROUP BY host
+),
+qq AS (
+  SELECT (('0x' || substr(md5('q' || doc_id::VARCHAR),1,4))::UBIGINT
+          % 20)::BIGINT AS host,
+         round(sum(CASE WHEN lang = 'nl' THEN 1 ELSE 0 END)::DOUBLE
+               / count(*), 6) AS qscore
+  FROM documents GROUP BY host
+),
+j AS (
+  SELECT r.host, r.rank,
+         coalesce(rr.change_rate, 0.0::DOUBLE) AS change_rate,
+         coalesce(qq.qscore, 0.5::DOUBLE) AS qscore
+  FROM r5 r LEFT JOIN rr ON r.host = rr.host LEFT JOIN qq ON r.host = qq.host
+),
+w AS (
+  SELECT *, round(rank * (1.0::DOUBLE + change_rate) * qscore, 12) AS weight
+  FROM j
+),
+t AS (
+  SELECT sum(CAST(weight AS DECIMAL(28,12)))::DOUBLE AS tot,
+         count(*)::BIGINT AS k
+  FROM w
+),
+b AS (
+  SELECT w.host, w.rank, w.change_rate, w.qscore, w.weight,
+         floor(5000.0::DOUBLE * sh)::BIGINT AS base,
+         (5000.0::DOUBLE * sh) - floor(5000.0::DOUBLE * sh) AS rem
+  FROM (
+    SELECT w.*, CASE WHEN t.tot > 0.0 THEN w.weight / t.tot
+                     ELSE 1.0::DOUBLE / t.k END AS sh
+    FROM w CROSS JOIN t
+  ) w
+),
+lo AS (SELECT (5000 - sum(base))::BIGINT AS leftover FROM b),
+rk AS (
+  SELECT b.*, row_number() OVER (ORDER BY rem DESC, host ASC) AS rn FROM b
+)
+SELECT rk.host, rk.rank, rk.change_rate, rk.qscore, rk.weight,
+       (rk.base + CASE WHEN rk.rn <= lo.leftover THEN 1 ELSE 0 END)::BIGINT
+         AS quota
+FROM rk CROSS JOIN lo ORDER BY rk.host
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3449,6 +3557,7 @@ ORDER BY container, contained
 #   crawl prioritization ...... host_pagerank, crawl_depth
 #   link graph: anchors ....... anchor_rollup
 #   crawl scheduling .......... recrawl_schedule, snapshot_delta
+#   crawl budget composite .... plan_crawl (pagerank × change × quality)
 #   crawl pipeline (O1-O20) ... crawl_epoch
 #
 # Registry ORDER is graded surface area, not cosmetics:
@@ -3502,8 +3611,10 @@ ORDER BY container, contained
 #     anchor aggregation) takes the seats of asof_latest_event and
 #     range_join (r1/r2-green, driver-graded every round since), and
 #     containment_pairs (asymmetric n-gram syndication detection) takes
-#     the seat of udtf_tokens (r2-green, graded r2-r4).
-#     Round 6 should cycle the 33 currently-out queries back in.
+#     the seat of udtf_tokens (r2-green, graded r2-r4), and plan_crawl
+#     (the crawl-budget composite) takes the seat of stream_hourly
+#     (r1-green; 5 streaming reps remain in-window).
+#     Round 6 should cycle the 34 currently-out queries back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -3534,8 +3645,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_token_drift": q_source_token_drift,
     "session_stats": q_session_stats,
     "recrawl_schedule": q_recrawl_schedule,
+    "plan_crawl": q_plan_crawl,
     "source_quality": q_source_quality,
-    "stream_hourly": q_stream_hourly,
     "stream_dedup_users": q_stream_dedup_users,
     "stateful_budget": q_stateful_budget,
     "stream_session": q_stream_session,
@@ -3560,6 +3671,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_latest_event": q_asof_latest_event,
     "range_join": q_range_join,
     "udtf_tokens": q_udtf_tokens,
+    "stream_hourly": q_stream_hourly,
     "top_revenue_orders": q_top_revenue_orders,
     "region_revenue": q_region_revenue,
     "window_topk_per_customer": q_window_topk_per_customer,
@@ -3689,6 +3801,7 @@ ORACLE: dict[str, str] = {
     "dedup_lines": ORACLE_DEDUP_LINES,
     "anchor_rollup": ORACLE_ANCHOR_ROLLUP,
     "containment_pairs": ORACLE_CONTAINMENT,
+    "plan_crawl": ORACLE_PLAN_CRAWL,
     "source_quality": ORACLE_SOURCE_QUALITY,
     "source_token_drift": ORACLE_SOURCE_TOKEN_DRIFT,
     "pii_scrub": ORACLE_PII_SCRUB,

@@ -295,6 +295,33 @@ def main() -> None:
                       "unreachable": n_unreach,
                       "sec": timings["crawl_depth"], **bfs_stats}))
 
+    # crawl-budget composite: pagerank (re-run inside, same edge graph) ×
+    # change rate over the fetch log × a synthetic per-host quality —
+    # the |hosts|-row assembly after the iterative part is join+window
+    from nlnieuwscrawler_spark.operators.planner import plan_crawl
+
+    q_host = spark.range(n_hosts).select(
+        F.col("id").alias("host"),
+        F.round(
+            (F.pmod(F.xxhash64(F.lit("q"), "id"), F.lit(1000)) / 1000.0), 6
+        ).alias("qscore"),
+    )
+    pc_stats: dict = {}
+    t0 = time.perf_counter()
+    pc = plan_crawl(
+        edges,
+        obs.select(F.pmod(F.col("user_id"), F.lit(n_hosts)).alias("host"),
+                   "ts", "value", "event_id"),
+        q_host, n_hosts=n_hosts, budget=10_000_000, iters=5,
+        stats=pc_stats,
+    )
+    bsum = pc.agg(F.sum("quota")).collect()[0][0]
+    timings["plan_crawl"] = round(time.perf_counter() - t0, 2)
+    assert bsum == 10_000_000, bsum
+    print(json.dumps({"op": "plan_crawl", "rows": n_hosts,
+                      "quota_sum": bsum,
+                      "sec": timings["plan_crawl"], **pc_stats}))
+
     # VERDICT r4 #7: embeddings leg — IVF ANN at n_vecs = n_docs/2 synthetic
     # 64-d vectors (deterministic: sin of seeded xxhash64), 100 queries
     from nlnieuwscrawler_spark.operators.similarity import ann_ivf_topk
