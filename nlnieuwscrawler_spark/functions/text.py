@@ -964,14 +964,30 @@ def dedup_lines(df, text_col: str = "text", id_col: str = "doc_id"):
     (1-based both in Spark's ``array_position`` and DuckDB's
     ``list_position``, so the oracle twin is literal). Exact match —
     no normalization — matching CCNet's hash-of-raw-line dedup unit.
+
+    The split is bound ONCE as a lambda variable (the word_ngrams
+    transform-over-1-element-array trick): referencing the split
+    expression directly inside the filter lambda re-splits the whole
+    text for every line element — no CSE across a LambdaFunction
+    boundary.
     """
-    lines = F.split(F.col(text_col), "\n")
-    kept = F.filter(
-        lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
+
+    def build(ls: Column) -> Column:
+        kept = F.filter(
+            ls, lambda x, i: F.array_position(ls, x) == i + F.lit(1)
+        )
+        return F.struct(
+            F.size(ls).cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.array_join(kept, "\n").alias("text_dedup"),
+        )
+
+    s = F.element_at(
+        F.transform(F.array(F.split(F.col(text_col), "\n")), build), 1
     )
     return df.select(
         F.col(id_col),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(kept).cast("long").alias("n_kept"),
-        F.array_join(kept, "\n").alias("text_dedup"),
+        s["n_lines"].alias("n_lines"),
+        s["n_kept"].alias("n_kept"),
+        s["text_dedup"].alias("text_dedup"),
     )

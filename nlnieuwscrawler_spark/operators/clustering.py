@@ -73,7 +73,8 @@ def _assign(df: DataFrame, centroids: list[tuple[int, list[float]]],
 
 
 def _fit_centroids(
-    base: DataFrame, k: int, iters: int, vec_col: str, id_col: str
+    base: DataFrame, k: int, iters: int, vec_col: str, id_col: str,
+    cache: bool = True,
 ) -> list[tuple[int, list[float]]]:
     """The k-means iteration loop; returns the final centroids.
 
@@ -85,6 +86,17 @@ def _fit_centroids(
     no RNG — a pure function of (base, k, iters), the property the
     cross-engine oracle and the partitioning-invariance test rely on.
     """
+    from pyspark import StorageLevel
+
+    # the loop evaluates `base` iters+1 times (init collect + one update
+    # agg per iteration) — uncached that is iters+1 full SOURCE scans,
+    # which on a cluster reading remote parquet dominates. cache=False
+    # opts out for warm local storage, where the A/B measured the row
+    # cache ~10% SLOWER at 1M×64-d (page-cached columnar scans beat the
+    # fatter deserialized row cache; BENCH/BASELINE.md round-5 note) —
+    # the default stays cluster-first.
+    if cache:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     init_rows = (
         base.orderBy(id_col).limit(k)
         .select(F.col(vec_col))
@@ -123,6 +135,8 @@ def _fit_centroids(
             (cid, [new[cid][p] for p in range(len(old))] if cid in new else old)
             for cid, old in centroids
         ]
+    if cache:
+        base.unpersist()
     return centroids
 
 
@@ -133,13 +147,14 @@ def kmeans_embeddings(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     stats: dict | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Fixed-iteration k-means over an embedding column →
     (id, cluster, sqdist). See ``_fit_centroids`` for the deterministic
-    semantics; the returned frame is the final zero-shuffle assignment
-    projection."""
+    semantics (and the ``cache`` trade-off); the returned frame is the
+    final zero-shuffle assignment projection."""
     base = df.select(F.col(id_col), F.col(vec_col))
-    centroids = _fit_centroids(base, k, iters, vec_col, id_col)
+    centroids = _fit_centroids(base, k, iters, vec_col, id_col, cache=cache)
     if stats is not None:
         stats["iters"] = iters
         stats["centroids"] = centroids
@@ -155,6 +170,7 @@ def semdedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache: bool = True,
 ) -> DataFrame:
     """SemDeDup pruning → (id, cluster, keep).
 
@@ -173,7 +189,7 @@ def semdedup(
     sqrt over the same left-to-right fold is the same IEEE double.
     """
     base = df.select(F.col(id_col), F.col(vec_col))
-    centroids = _fit_centroids(base, k, iters, vec_col, id_col)
+    centroids = _fit_centroids(base, k, iters, vec_col, id_col, cache=cache)
     labeled = (
         _assign(base, centroids, vec_col)
         .select(id_col, "cluster", vec_col,
@@ -192,7 +208,14 @@ def semdedup(
         F.col(vec_col).alias("__vb"),
         F.col("__nrm").alias("__nb"),
     )
-    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    # guarded like similarity.cosine(): an all-zero vector makes the norm
+    # product 0 and an unguarded division THROWS under ANSI mode (Spark 4
+    # default) — and even non-ANSI NULL vs the oracle's NaN would flip
+    # keep/drop; cosine-to-a-zero-vector is defined 0 here (never a dup)
+    nprod = F.col("__na") * F.col("__nb")
+    cos = F.when(
+        nprod > 0, dot(F.col("__va"), F.col("__vb")) / nprod
+    ).otherwise(F.lit(0.0))
     dups = (
         a.join(b, (F.col("__ca") == F.col("__cb"))
                & (F.col("__idb") < F.col("__ida")))

@@ -3141,12 +3141,17 @@ lab AS (
   FROM fin f JOIN e ON f.vec_id = e.vec_id
 ),
 dup AS (
+  -- norm-product guard mirrors the engine (similarity.cosine
+  -- convention): cosine to an all-zero vector is defined 0, never a dup
   SELECT DISTINCT a.vec_id FROM lab a JOIN lab b
     ON a.cluster = b.cluster AND b.vec_id < a.vec_id
   WHERE round(
-    list_sum(list_transform(range(1, 65), j -> a.v[j] * b.v[j]))
-    / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-       * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) >= 0.4
+    CASE WHEN (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+               * sqrt(list_sum(list_transform(b.v, x -> x * x)))) > 0
+         THEN list_sum(list_transform(range(1, 65), j -> a.v[j] * b.v[j]))
+              / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                 * sqrt(list_sum(list_transform(b.v, x -> x * x))))
+         ELSE 0.0::DOUBLE END, 6) >= 0.4
 )
 SELECT l.vec_id, l.cluster::BIGINT AS cluster,
        (d.vec_id IS NULL) AS keep
@@ -3347,16 +3352,18 @@ ORDER BY r.host
 def q_containment(spark, sf_dir):
     """Syndication detection via asymmetric n-gram containment: the
     corpus is documents PLUS a planted 20-token excerpt of every doc
-    with ≥ 25 tokens (id + 100000, same lang — a wire-copy republish,
-    guaranteed containment 1.0), so pairs exist at every SF; organic
-    near-dup pairs surface too (operators/dedup.py:containment_pairs)."""
+    with ≥ 25 tokens (id + 2^40 — a high-bit offset no fixture SF can
+    collide with, unlike a small additive constant — same lang; a
+    wire-copy republish, guaranteed containment 1.0), so pairs exist at
+    every SF; organic near-dup pairs surface too
+    (operators/dedup.py:containment_pairs)."""
     from nlnieuwscrawler_spark.functions.text import tokens_col_text
     from nlnieuwscrawler_spark.operators.dedup import containment_pairs
 
     d = load(spark, sf_dir, "documents")
     toks = tokens_col_text(F.col("text"))
     excerpt = d.filter(F.size(toks) >= 25).select(
-        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        (F.col("doc_id") + F.lit(1 << 40)).alias("doc_id"),
         F.array_join(F.slice(toks, 1, 20), " ").alias("text"),
         "lang",
     )
@@ -3370,7 +3377,7 @@ ORACLE_CONTAINMENT = """
 WITH corpus AS (
   SELECT doc_id, text, lang FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS doc_id,
+  SELECT doc_id + 1099511627776 AS doc_id,  -- 2^40, collision-proof
          array_to_string(list_slice(
            string_split_regex(trim(lower(text)), '\\s+'), 1, 20), ' ') AS text,
          lang

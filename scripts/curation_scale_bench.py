@@ -230,7 +230,7 @@ def main() -> None:
         .cast("double")
         .alias("value"),
     )
-    run("recrawl_schedule", recrawl_schedule(obs))
+    run("recrawl_schedule", recrawl_schedule(obs), checksum=True)
 
     # VERDICT r4 #6: the end-to-end curate() composite as ONE measured run
     # (minhash mode — the 100 TB path), audit included
@@ -431,16 +431,18 @@ def main() -> None:
             for j in range(3)
         ])).alias("l"),
     ).select("src", "l.dst", "l.anchor")
-    run("anchor_rollup", anchor_rollup(links))
+    run("anchor_rollup", anchor_rollup(links), checksum=True)
 
     run("kmeans_embeddings",
         lambda: kmeans_embeddings(vecs, k=8, iters=3), checksum=True)
     sd_n = n_vecs // 20
     sd_k = max(8, round(sd_n / 780))  # k ∝ n keeps clusters ~780 vecs
     sd_vecs = vecs.filter(F.col("vec_id") < sd_n)
+    # semdedup materializes eagerly (localCheckpoint inside) — the count
+    # in run() times real work; checksum not needed for an eager op
     run(f"semdedup_{sd_n // 1000}k_k{sd_k}",
         lambda: semdedup(sd_vecs, k=sd_k, iters=2, threshold=0.95))
-    run("snapshot_delta", snapshot_delta(obs))
+    run("snapshot_delta", snapshot_delta(obs), checksum=True)
 
     print(json.dumps({"n_docs": n_docs, "n_vecs": n_vecs, "cores": cores,
                       "timings": timings}))
