@@ -3263,6 +3263,64 @@ FROM l ORDER BY doc_id
 """
 
 
+def q_boilerplate_scrub(spark, sf_dir):
+    """Cross-document boilerplate removal over a deterministic 5-line
+    layout: two per-doc text windows interleaved with a per-source
+    footer ('(c) ' || source), a corpus-wide nav line, and a third
+    window — the planted chrome appears in all ~25 docs of each source,
+    so it is boiler at min_docs=3 at every SF; organic window collisions
+    within a source scrub too, identically in both engines
+    (functions/text.py:boilerplate_scrub)."""
+    from nlnieuwscrawler_spark.functions.text import boilerplate_scrub
+
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    lined = d.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            "\n",
+            F.substring(t, 1, 40),
+            F.concat(F.lit("(c) "), F.col("source")),
+            F.substring(t, 41, 40),
+            F.lit("home | nieuws | contact"),
+            F.substring(t, 81, 40),
+        ).alias("text"),
+    )
+    return boilerplate_scrub(lined, min_docs=3).orderBy("doc_id")
+
+
+ORACLE_BOILERPLATE = """
+WITH d AS (
+  SELECT doc_id, source,
+         concat_ws(chr(10), substr(text, 1, 40), '(c) ' || source,
+                   substr(text, 41, 40), 'home | nieuws | contact',
+                   substr(text, 81, 40)) AS t
+  FROM documents
+),
+l AS (
+  SELECT d.doc_id, d.source, u.line
+  FROM d, unnest(string_split(d.t, chr(10))) AS u(line)
+),
+b AS (
+  SELECT source, line FROM l WHERE line <> ''
+  GROUP BY source, line HAVING count(DISTINCT doc_id) >= 3
+),
+ba AS (SELECT source, list(line) AS bl FROM b GROUP BY source)
+SELECT d.doc_id,
+  len(string_split(d.t, chr(10)))::BIGINT AS n_lines,
+  (len(string_split(d.t, chr(10)))
+   - len(list_filter(string_split(d.t, chr(10)),
+         x -> NOT list_contains(coalesce(ba.bl, []::VARCHAR[]), x))))::BIGINT
+    AS n_boiler,
+  array_to_string(list_filter(string_split(d.t, chr(10)),
+         x -> NOT list_contains(coalesce(ba.bl, []::VARCHAR[]), x)),
+         chr(10)) AS text_clean
+FROM d LEFT JOIN ba ON d.source = ba.source
+ORDER BY d.doc_id
+"""
+
+
 def q_anchor_rollup(spark, sf_dir):
     """Per-target anchor-text aggregation over a deterministic link
     graph: every non-empty doc emits 3 links, target host =
@@ -3563,6 +3621,7 @@ FROM rk CROSS JOIN lo ORDER BY rk.host
 #   curation: domain mix ...... domain_mix
 #   crawl prioritization ...... host_pagerank, crawl_depth
 #   link graph: anchors ....... anchor_rollup
+#   curation: boilerplate ..... boilerplate_scrub (cross-doc), dedup_lines (intra-doc)
 #   crawl scheduling .......... recrawl_schedule, snapshot_delta
 #   crawl budget composite .... plan_crawl (pagerank × change × quality)
 #   crawl pipeline (O1-O20) ... crawl_epoch
@@ -3620,8 +3679,10 @@ FROM rk CROSS JOIN lo ORDER BY rk.host
 #     containment_pairs (asymmetric n-gram syndication detection) takes
 #     the seat of udtf_tokens (r2-green, graded r2-r4), and plan_crawl
 #     (the crawl-budget composite) takes the seat of stream_hourly
-#     (r1-green; 5 streaming reps remain in-window).
-#     Round 6 should cycle the 34 currently-out queries back in.
+#     (r1-green; 5 streaming reps remain in-window), and
+#     boilerplate_scrub (cross-doc template-line removal) takes the
+#     seat of session_stats (r1-green, driver-graded r1-r5).
+#     Round 6 should cycle the 35 currently-out queries back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -3650,7 +3711,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "importance_sample": q_importance_sample,
     "domain_mix": q_domain_mix,
     "source_token_drift": q_source_token_drift,
-    "session_stats": q_session_stats,
+    "boilerplate_scrub": q_boilerplate_scrub,
     "recrawl_schedule": q_recrawl_schedule,
     "plan_crawl": q_plan_crawl,
     "source_quality": q_source_quality,
@@ -3675,6 +3736,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_bigrams": q_pmi_bigrams,
     # --- positions 51+: oracle-backed but outside the driver's 50-entry
     # window this round (rotation policy above)
+    "session_stats": q_session_stats,
     "asof_latest_event": q_asof_latest_event,
     "range_join": q_range_join,
     "udtf_tokens": q_udtf_tokens,
@@ -3806,6 +3868,7 @@ ORACLE: dict[str, str] = {
     "semdedup": ORACLE_SEMDEDUP,
     "snapshot_delta": ORACLE_SNAPSHOT_DELTA,
     "dedup_lines": ORACLE_DEDUP_LINES,
+    "boilerplate_scrub": ORACLE_BOILERPLATE,
     "anchor_rollup": ORACLE_ANCHOR_ROLLUP,
     "containment_pairs": ORACLE_CONTAINMENT,
     "plan_crawl": ORACLE_PLAN_CRAWL,

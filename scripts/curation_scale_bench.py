@@ -377,6 +377,26 @@ def main() -> None:
     )
     run("dedup_lines", dedup_lines(lined), checksum=True)
 
+    # cross-doc boilerplate: per-source footer + corpus-wide nav planted
+    # like the registry query — the (source, line) df-count is the only
+    # exchange, the corpus side rides a broadcast join (plan-pinned in
+    # tests); checksum forces the rebuilt text_clean
+    from nlnieuwscrawler_spark.functions.text import boilerplate_scrub
+
+    chromed = docs.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 40),
+            F.concat(F.lit("(c) "), F.col("source")),
+            F.substring("text", 41, 40),
+            F.lit("home | nieuws | contact"),
+            F.substring("text", 81, 40),
+        ).alias("text"),
+    )
+    run("boilerplate_scrub", boilerplate_scrub(chromed), checksum=True)
+
     # syndication containment: eager op (localCheckpoint inside) — thunk.
     # NOT run on the word-soup corpus: its 40-word vocabulary makes every
     # trigram's document frequency ≈ n/1000, which defeats prefix

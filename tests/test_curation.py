@@ -476,3 +476,82 @@ def test_dedup_lines_zero_shuffle_plan(spark):
     )
     plan = dedup_lines(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_boilerplate_scrub_pinned_cases(spark):
+    """Cross-doc boilerplate: line boiler iff >= min_docs DISTINCT docs
+    in the SAME group share it; intra-doc repeats don't count; empty
+    lines are never scrubbed; an all-boiler doc survives empty."""
+    from nlnieuwscrawler_spark.functions.text import boilerplate_scrub
+
+    rows = [
+        (1, "A", "u1\nFOOT\nbody one"),
+        (2, "A", "u2\nFOOT\n\nbody two"),   # keeps its empty line
+        (3, "A", "FOOT\nFOOT\nu3"),         # FOOT twice in ONE doc
+        (4, "A", "FOOT"),                   # all-boiler doc
+        (5, "B", "FOOT\nu5"),               # df(FOOT)=1 in B -> kept
+        (6, "B", ""),                       # empty doc
+        (7, "B", "x\nx\nx"),                # intra-doc repeat, df=1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_scrub(df, min_docs=3).collect()
+    }
+    assert out[1]["text_clean"] == "u1\nbody one"
+    assert out[2]["text_clean"] == "u2\n\nbody two"  # layout preserved
+    assert (out[3]["n_lines"], out[3]["n_boiler"]) == (3, 2)
+    assert out[4]["text_clean"] == "" and out[4]["n_boiler"] == 1
+    assert out[5]["text_clean"] == "FOOT\nu5"        # group-scoped df
+    assert out[6]["n_lines"] == 1 and out[6]["n_boiler"] == 0
+    assert out[7]["n_boiler"] == 0                   # intra-doc only
+
+
+def test_boilerplate_scrub_modes_identical(spark):
+    """broadcast and join modes must be bit-identical, INCLUDING the
+    all-boilerplate doc the naive groupBy rebuild would drop."""
+    from nlnieuwscrawler_spark.functions.text import boilerplate_scrub
+
+    rows = [
+        (1, "A", "u1\nFOOT\nbody one"),
+        (2, "A", "u2\nFOOT\n\nbody two"),
+        (3, "A", "FOOT\nFOOT\nu3"),
+        (4, "A", "FOOT"),
+        (5, "B", "FOOT\nu5"),
+        (6, "B", ""),
+        (7, "B", "x\nx\nx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    b = boilerplate_scrub(df, min_docs=3).orderBy("doc_id").toPandas()
+    j = boilerplate_scrub(df, min_docs=3, mode="join").orderBy(
+        "doc_id").toPandas()
+    pd.testing.assert_frame_equal(b, j)
+
+
+def test_boilerplate_scrub_corpus_side_never_shuffles(spark):
+    """The 100 TB claim (broadcast mode): only the narrow exploded
+    (group, id, line) rows cross an Exchange — the corpus text column
+    reaches the scrub through a BroadcastHashJoin, never a shuffle."""
+    from nlnieuwscrawler_spark.functions.text import boilerplate_scrub
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", f"u{i}\nFOOT\nb{i}") for i in range(30)],
+        "doc_id long, source string, text string",
+    )
+    out = boilerplate_scrub(df, min_docs=3)
+    out.count()
+    qe = out._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    formatted = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        qe, "formatted"
+    )
+    blocks = formatted.split("\n\n")
+    exch = [b for b in blocks if b.lstrip().startswith("(")
+            and "Exchange" in b.splitlines()[0]]
+    assert exch, formatted  # the (group, line) df-count agg does shuffle
+    for b in exch:
+        inputs = [l for l in b.splitlines() if l.startswith("Input")]
+        assert inputs, b
+        assert "text#" not in inputs[0], b
