@@ -35,6 +35,7 @@ def host_pagerank(
     reliable: bool = False,
     broadcast_ranks: bool = True,
     stats: dict | None = None,
+    seeds: list[int] | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a host link graph → (host, rank).
 
@@ -63,6 +64,18 @@ def host_pagerank(
     collect, same pattern as dedup_components' convergence sum);
     per-round lineage cuts stop iterative-plan blowup, ``reliable=True``
     routes them through the durable checkpoint dir.
+
+    ``seeds`` personalizes the teleport vector (TrustRank — Gyöngyi,
+    Garcia-Molina & Pedersen 2004, public): with a seed host list, ALL
+    teleport and dangling mass lands uniformly on the seeds instead of
+    all hosts (v(h) = 1/|S| on seeds, 0 elsewhere; init rank = v), so
+    rank can only reach a host through a link path from a trusted seed —
+    the spam-demotion prior a crawl scheduler combines with raw
+    PageRank. ``seeds=None`` (default) is classic uniform PageRank,
+    byte-identical to the pre-seeds code path (the personalized branch
+    is separate arithmetic, so the uniform oracle stays bit-stable).
+    The seed indicator enters the plan as a literal IN-list — seed
+    lists are short (hand-curated trust lists), so no join is added.
     """
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
@@ -74,16 +87,29 @@ def host_pagerank(
 
     spark = edges.sparkSession
     nodes = spark.range(n_nodes).select(F.col("id").alias("host"))
-    init = round(1.0 / n_nodes, 12)
+    if seeds is None:
+        init_col = F.lit(round(1.0 / n_nodes, 12)).cast("double")
+    else:
+        if not seeds:
+            raise ValueError("seeds must be a non-empty host list")
+        seeds = [int(s) for s in seeds]
+        init_col = (
+            F.when(
+                F.col("host").isin(seeds),
+                F.lit(round(1.0 / len(seeds), 12)),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("double")
+        )
     ranks = cut_lineage(
-        nodes.select("host", F.lit(init).cast("double").alias("rank")), reliable
+        nodes.select("host", init_col.alias("rank")), reliable
     )
 
     round_secs: list[float] = []
     for _ in range(iters):
         t0 = _time.perf_counter()
         new = _pagerank_step(
-            e, outd, nodes, ranks, n_nodes, damping, broadcast_ranks
+            e, outd, nodes, ranks, n_nodes, damping, broadcast_ranks, seeds
         )
         ranks = cut_lineage(new, reliable)
         round_secs.append(round(_time.perf_counter() - t0, 3))
@@ -101,10 +127,13 @@ def _pagerank_step(
     n_nodes: int,
     damping: float = 0.85,
     broadcast_ranks: bool = True,
+    seeds: list[int] | None = None,
 ) -> DataFrame:
     """One power iteration as a single (un-cut) plan — split out so plan
     tests can pin its shape: rank/outdeg joins broadcast, the ONLY
-    exchange the (dst, decimal) partial-aggregated sum."""
+    exchange the (dst, decimal) partial-aggregated sum. ``seeds``
+    switches teleport + dangling mass to the personalized (TrustRank)
+    vector; None keeps the uniform arithmetic byte-identical."""
     base = (1.0 - damping) / n_nodes  # same IEEE fold the oracle performs
     # dangling mass: ranks of hosts with no out-edges, summed exactly
     dm_row = (
@@ -127,19 +156,65 @@ def _pagerank_step(
         .groupBy("dst")
         .agg(F.sum("__c").alias("__s"))
     )
+    in_sum = F.coalesce(F.col("__s"), F.lit(0).cast("decimal(38,12)")).cast(
+        "double"
+    )
+    if seeds is None:
+        new_rank = F.lit(base) + F.lit(damping) * (
+            in_sum + F.lit(dm) / F.lit(float(n_nodes))
+        )
+    else:
+        s_ct = len(seeds)
+        tele = (1.0 - damping) / s_ct  # IEEE fold mirrored by the oracle
+        is_seed = F.col("host").isin(seeds)
+        new_rank = F.when(is_seed, F.lit(tele)).otherwise(F.lit(0.0)) + F.lit(
+            damping
+        ) * (
+            in_sum
+            + F.when(
+                is_seed, F.lit(dm) / F.lit(float(s_ct))
+            ).otherwise(F.lit(0.0))
+        )
     return nodes.join(contrib, nodes["host"] == contrib["dst"], "left").select(
         "host",
-        F.round(
-            F.lit(base)
-            + F.lit(damping)
-            * (
-                F.coalesce(F.col("__s"), F.lit(0).cast("decimal(38,12)")).cast(
-                    "double"
-                )
-                + F.lit(dm) / F.lit(float(n_nodes))
-            ),
-            12,
-        ).alias("rank"),
+        F.round(new_rank, 12).alias("rank"),
+    )
+
+
+def trustrank(
+    edges: DataFrame,
+    n_nodes: int,
+    seeds: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 5,
+    reliable: bool = False,
+    broadcast_ranks: bool = True,
+    stats: dict | None = None,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004) → (host,
+    rank): PageRank with the teleport vector personalized to a curated
+    seed list — rank flows ONLY along link paths out of trusted hosts,
+    so link-spam islands that classic PageRank rewards get rank 0 (a
+    host unreachable from every seed receives no teleport, no dangling
+    mass, and no in-link mass). The crawl scheduler divides raw
+    PageRank by TrustRank (or thresholds it) to demote spam-boosted
+    hosts; same 100 TB shape as ``host_pagerank`` — the personalized
+    base is a literal IN-list projection, no extra join or shuffle."""
+    if not seeds:
+        raise ValueError("trustrank requires a non-empty seed host list")
+    return host_pagerank(
+        edges,
+        n_nodes,
+        src=src,
+        dst=dst,
+        damping=damping,
+        iters=iters,
+        reliable=reliable,
+        broadcast_ranks=broadcast_ranks,
+        stats=stats,
+        seeds=seeds,
     )
 
 

@@ -2826,12 +2826,29 @@ def q_host_pagerank(spark, sf_dir):
     return host_pagerank(edges, n_nodes=20, iters=5).orderBy("host")
 
 
-def _pagerank_oracle(n: int = 20, iters: int = 5, cte_only: bool = False) -> str:
+def _pagerank_oracle(
+    n: int = 20,
+    iters: int = 5,
+    cte_only: bool = False,
+    seeds: list[int] | None = None,
+) -> str:
     """Unrolled fixed-iteration PageRank CTE chain, arithmetic-identical
     to operators/graph.py:host_pagerank (explicit ::DOUBLE casts so
     DuckDB's decimal-literal folding can't diverge from IEEE doubles).
     ``cte_only=True`` returns just the WITH chain (final ranks in
-    ``r{iters}``) so composites — ORACLE_PLAN_CRAWL — can extend it."""
+    ``r{iters}``) so composites — ORACLE_PLAN_CRAWL — can extend it.
+    ``seeds`` unrolls the personalized (TrustRank) arithmetic instead:
+    teleport + dangling mass CASE onto the seed set, init rank = v —
+    the same IEEE folds as graph.py's seeded branch."""
+    if seeds is None:
+        r0 = f"r0 AS (SELECT host, round(1.0::DOUBLE / {n}, 12) AS rank FROM nodes)"
+    else:
+        s_list = ", ".join(str(int(s)) for s in seeds)
+        s_ct = len(seeds)
+        r0 = f"""r0 AS (
+  SELECT host, CASE WHEN host IN ({s_list})
+               THEN round(1.0::DOUBLE / {s_ct}, 12)
+               ELSE 0.0::DOUBLE END AS rank FROM nodes)"""
     parts = [f"""
 WITH e AS (
   SELECT DISTINCT src, dst FROM (
@@ -2843,9 +2860,20 @@ WITH e AS (
 ),
 outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
 nodes AS (SELECT unnest(range(0, {n})) AS host),
-r0 AS (SELECT host, round(1.0::DOUBLE / {n}, 12) AS rank FROM nodes)"""]
+{r0}"""]
     for i in range(1, iters + 1):
         p = i - 1
+        if seeds is None:
+            new_rank = f"""round((1.0::DOUBLE - 0.85::DOUBLE) / {n}
+               + 0.85::DOUBLE * (coalesce(c.s, 0)::DOUBLE + d.dm / {n}), 12)"""
+        else:
+            new_rank = f"""round(
+           CASE WHEN n.host IN ({s_list})
+                THEN (1.0::DOUBLE - 0.85::DOUBLE) / {s_ct}
+                ELSE 0.0::DOUBLE END
+           + 0.85::DOUBLE * (coalesce(c.s, 0)::DOUBLE
+               + CASE WHEN n.host IN ({s_list}) THEN d.dm / {s_ct}
+                      ELSE 0.0::DOUBLE END), 12)"""
         parts.append(f""",
 d{i} AS (
   SELECT coalesce(sum(CAST(r.rank AS DECIMAL(28,12))), 0)::DOUBLE AS dm
@@ -2857,8 +2885,7 @@ c{i} AS (
   GROUP BY e.dst),
 r{i} AS (
   SELECT n.host,
-         round((1.0::DOUBLE - 0.85::DOUBLE) / {n}
-               + 0.85::DOUBLE * (coalesce(c.s, 0)::DOUBLE + d.dm / {n}), 12)
+         {new_rank}
            AS rank
   FROM nodes n LEFT JOIN c{i} c ON n.host = c.host CROSS JOIN d{i} d)""")
     if not cte_only:
@@ -2867,6 +2894,41 @@ r{i} AS (
 
 
 ORACLE_HOST_PAGERANK = _pagerank_oracle()
+
+
+def q_trustrank(spark, sf_dir):
+    """Spam-demoting TrustRank over the SAME deterministic 20-host link
+    graph as host_pagerank, seeds {0, 1} (the hand-curated trust list a
+    news crawler starts from): teleport + dangling mass land only on the
+    seeds, so hosts with no link path from a seed rank EXACTLY 0 — the
+    signal the scheduler divides raw PageRank by to catch link farms.
+    Same decimal recipe per iteration, so the seeded unrolled-CTE oracle
+    matches bit-for-bit (operators/graph.py:trustrank)."""
+    from nlnieuwscrawler_spark.operators.graph import trustrank
+
+    d = load(spark, sf_dir, "documents")
+
+    def h(salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 20
+        )
+
+    edges = d.select(h("s").alias("src"), h("d").alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    return trustrank(edges, n_nodes=20, seeds=[0, 1], iters=5).orderBy("host")
+
+
+ORACLE_TRUSTRANK = _pagerank_oracle(seeds=[0, 1])
 
 
 def q_crawl_depth(spark, sf_dir):
@@ -3619,7 +3681,7 @@ FROM rk CROSS JOIN lo ORDER BY rk.host
 #   curation: PII/blocklist ... pii_scrub, badword_filter
 #   curation: model filter .... quality_classifier, perplexity_buckets
 #   curation: domain mix ...... domain_mix
-#   crawl prioritization ...... host_pagerank, crawl_depth
+#   crawl prioritization ...... host_pagerank, trustrank, crawl_depth
 #   link graph: anchors ....... anchor_rollup
 #   curation: boilerplate ..... boilerplate_scrub (cross-doc), dedup_lines (intra-doc)
 #   crawl scheduling .......... recrawl_schedule, snapshot_delta
@@ -3681,8 +3743,11 @@ FROM rk CROSS JOIN lo ORDER BY rk.host
 #     (the crawl-budget composite) takes the seat of stream_hourly
 #     (r1-green; 5 streaming reps remain in-window), and
 #     boilerplate_scrub (cross-doc template-line removal) takes the
-#     seat of session_stats (r1-green, driver-graded r1-r5).
-#     Round 6 should cycle the 35 currently-out queries back in.
+#     seat of session_stats (r1-green, driver-graded r1-r5), and
+#     trustrank (seed-personalized spam-demoting PageRank) takes the
+#     seat of dedup_exact (r1-green; the dedup category keeps 4
+#     in-window reps: incremental, retention, components, spans).
+#     Round 6 should cycle the 36 currently-out queries back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -3692,7 +3757,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_rollup": q_anchor_rollup,
     "containment_pairs": q_containment,
     "asof_join_left": q_asof_join_left,
-    "dedup_exact": q_dedup_exact,
+    "trustrank": q_trustrank,
     "dedup_spans": q_dedup_spans,
     "lm_bigram_score": q_lm_bigram_score,
     "perplexity_buckets": q_perplexity_buckets,
@@ -3736,6 +3801,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_bigrams": q_pmi_bigrams,
     # --- positions 51+: oracle-backed but outside the driver's 50-entry
     # window this round (rotation policy above)
+    "dedup_exact": q_dedup_exact,
     "session_stats": q_session_stats,
     "asof_latest_event": q_asof_latest_event,
     "range_join": q_range_join,
@@ -3877,5 +3943,6 @@ ORACLE: dict[str, str] = {
     "pii_scrub": ORACLE_PII_SCRUB,
     "badword_filter": ORACLE_BADWORD_FILTER,
     "host_pagerank": ORACLE_HOST_PAGERANK,
+    "trustrank": ORACLE_TRUSTRANK,
     "crawl_depth": ORACLE_CRAWL_DEPTH,
 }

@@ -283,6 +283,20 @@ def main() -> None:
     timings["host_pagerank"] = round(time.perf_counter() - t0, 2)
     print(json.dumps({"op": "host_pagerank", "rows": n_pr, "n_hosts": n_hosts,
                       "sec": timings["host_pagerank"], **pr_stats}))
+
+    # trustrank: same graph, teleport personalized to 100 seed hosts —
+    # identical per-round shape (the seeded base is a literal IN-list
+    # projection), so any timing gap vs host_pagerank is noise
+    from nlnieuwscrawler_spark.operators.graph import trustrank
+
+    tr_stats: dict = {}
+    t0 = time.perf_counter()
+    tr = trustrank(edges, n_nodes=n_hosts, seeds=list(range(100)),
+                   iters=5, stats=tr_stats)
+    n_tr = tr.count()
+    timings["trustrank"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"op": "trustrank", "rows": n_tr, "n_hosts": n_hosts,
+                      "sec": timings["trustrank"], **tr_stats}))
     from nlnieuwscrawler_spark.operators.graph import crawl_depth
 
     bfs_stats: dict = {}

@@ -155,3 +155,67 @@ def test_anchor_rollup_no_bnlj(spark):
     )
     plan = anchor_rollup(links)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def _np_trustrank(n, pairs, seeds, d=0.85, iters=5):
+    """Straight-line TrustRank reference: teleport + dangling mass land
+    only on the seeds (v = 1/|S| on S, 0 elsewhere; init r = v)."""
+    out = {}
+    for s, t in set(pairs):
+        out.setdefault(s, []).append(t)
+    v = np.zeros(n)
+    for h in seeds:
+        v[h] = 1.0 / len(seeds)
+    r = v.copy()
+    for _ in range(iters):
+        dangle = sum(r[h] for h in range(n) if h not in out)
+        nxt = (1.0 - d) * v + d * dangle * v
+        for s, ts in out.items():
+            for t in ts:
+                nxt[t] += d * r[s] / len(ts)
+        r = nxt
+    return r
+
+
+def test_trustrank_numpy_crosscheck_and_spam_island(spark):
+    """Seeds {0}: trust flows 0→1→2; the 3↔4 link-spam island that
+    classic PageRank rewards gets EXACTLY rank 0 (no teleport, no
+    dangling mass, no in-link path from a seed)."""
+    from nlnieuwscrawler_spark.operators.graph import trustrank
+
+    pairs = [(0, 1), (1, 2), (3, 4), (4, 3)]
+    got = {
+        r["host"]: r["rank"]
+        for r in trustrank(_edges(spark, pairs), n_nodes=5,
+                           seeds=[0]).collect()
+    }
+    want = _np_trustrank(5, pairs, seeds=[0])
+    for h in range(5):
+        assert abs(got[h] - want[h]) < 1e-9, (h, got[h], want[h])
+    assert got[3] == 0.0 and got[4] == 0.0
+    # the spam island boosts each other in CLASSIC pagerank
+    classic = {
+        r["host"]: r["rank"]
+        for r in host_pagerank(_edges(spark, pairs), n_nodes=5).collect()
+    }
+    assert classic[3] > 0.0 and classic[4] > 0.0
+    # mass conservation on the personalized walk too
+    assert abs(sum(got.values()) - 1.0) < 1e-8
+
+
+def test_trustrank_multi_seed_and_empty_seed_rejected(spark):
+    import pytest as _pytest
+
+    from nlnieuwscrawler_spark.operators.graph import trustrank
+
+    pairs = [(0, 2), (1, 2), (2, 3)]
+    got = {
+        r["host"]: r["rank"]
+        for r in trustrank(_edges(spark, pairs), n_nodes=4,
+                           seeds=[0, 1]).collect()
+    }
+    want = _np_trustrank(4, pairs, seeds=[0, 1])
+    for h in range(4):
+        assert abs(got[h] - want[h]) < 1e-9, (h, got[h], want[h])
+    with _pytest.raises(ValueError):
+        trustrank(_edges(spark, pairs), n_nodes=4, seeds=[])
