@@ -203,3 +203,78 @@ def url_fingerprint(url: Column) -> Column:
 def host_hash(host: Column) -> Column:
     """32-bit Murmur3 host hash used for bucketing/salting (O10)."""
     return F.hash(host)
+
+
+# C4/FineWeb-style URL-level gating: blocklist tokens matched as EXACT
+# path segments (lowercase). Short on purpose — production lists are
+# config, this is the engine default (public C4 cleaning description).
+URL_BLOCK_TOKENS = ["xxx", "porn", "adult", "casino", "viagra"]
+
+
+def url_quality_filter(
+    df,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_depth: int = 8,
+    max_params: int = 4,
+    max_digit_ratio: float = 0.5,
+    max_len: int = 512,
+    block_tokens: list[str] | None = None,
+):
+    """URL-level quality gate (the C4/FineWeb pre-fetch filter): score
+    every URL on structural features and gate BEFORE spending a fetch —
+    the cheapest filter in the whole pipeline because it needs no page
+    body. Returns (id, depth, n_params, digit_ratio, n_chars, blocked,
+    keep):
+
+    - ``depth``       non-empty path segments (deep auto-generated
+                      archives and calendar traps fail this),
+    - ``n_params``    query parameters (session-id/tracking farms),
+    - ``digit_ratio`` digit share of the path chars, 6 dp (machine ids),
+    - ``n_chars``     full URL length,
+    - ``blocked``     any path segment exactly in the blocklist,
+    - ``keep``        all gates pass.
+
+    100 TB shape: a pure zero-shuffle projection — regexp/split/
+    higher-order exprs inside whole-stage codegen, the frontier is
+    scanned once and never moved (same class as ``pii_scrub``). The
+    blocklist enters as a literal array (``arrays_overlap``), not a
+    join; thresholds are plain literals. Arithmetic is
+    oracle-portable: digit counting via global regexp_replace and one
+    rounded double division, identical in DuckDB.
+    """
+    toks = block_tokens if block_tokens is not None else URL_BLOCK_TOKENS
+    url = F.col(url_col)
+    path = url_path(url)
+    segs = F.filter(F.split(path, "/"), lambda x: x != "")
+    depth = F.size(segs).cast("long")
+    query = F.regexp_extract(_strip_fragment(url), r"\?(.*)$", 1)
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.filter(F.split(query, "&"), lambda x: x != ""))
+    ).cast("long")
+    n_path = F.length(path)
+    n_digits = n_path - F.length(F.regexp_replace(path, r"[0-9]", ""))
+    digit_ratio = F.when(n_path == 0, F.lit(0.0)).otherwise(
+        F.round(n_digits.cast("double") / n_path, 6)
+    )
+    n_chars = F.length(url).cast("long")
+    blocked = F.arrays_overlap(
+        F.transform(segs, F.lower),
+        F.array(*[F.lit(t) for t in toks]),
+    )
+    keep = (
+        (depth <= F.lit(max_depth))
+        & (n_params <= F.lit(max_params))
+        & (digit_ratio <= F.lit(max_digit_ratio))
+        & (n_chars <= F.lit(max_len))
+        & ~blocked
+    )
+    return df.select(
+        F.col(id_col),
+        depth.alias("depth"),
+        n_params.alias("n_params"),
+        digit_ratio.alias("digit_ratio"),
+        n_chars.alias("n_chars"),
+        blocked.alias("blocked"),
+        keep.alias("keep"),
+    )

@@ -2795,6 +2795,92 @@ FROM m GROUP BY source ORDER BY source
 """
 
 
+def q_url_filter(spark, sf_dir):
+    """Pre-fetch URL quality gating over a deterministic frontier
+    synthesized from doc_id arithmetic — depth (doc_id%12), query
+    params (doc_id%7), a digit-heavy segment every 5th doc, an adult
+    segment every 97th — so every gate trips at every SF; identical
+    string construction and feature arithmetic in DuckDB
+    (functions/urls.py:url_quality_filter)."""
+    from nlnieuwscrawler_spark.functions.urls import url_quality_filter
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    path_part = F.expr(
+        "repeat(concat('/s', cast(doc_id % 3 as string)),"
+        " cast(doc_id % 12 as int))"
+    )
+    digit_part = F.when(
+        did % 5 == 0, F.lit("/d12345678901234567890")
+    ).otherwise(F.lit(""))
+    adult_part = F.when(did % 97 == 3, F.lit("/xxx")).otherwise(F.lit(""))
+    query_part = F.when(
+        did % 7 > 0,
+        F.concat(
+            F.lit("?"),
+            F.expr("substring(repeat('&k=v', cast(doc_id % 7 as int)), 2)"),
+        ),
+    ).otherwise(F.lit(""))
+    frontier = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.nl"),
+            path_part,
+            digit_part,
+            adult_part,
+            query_part,
+        ).alias("url"),
+    )
+    return url_quality_filter(frontier).orderBy("doc_id")
+
+
+ORACLE_URL_FILTER = """
+WITH u AS (
+  SELECT doc_id,
+    'https://' || source || '.example.nl'
+      || repeat('/s' || (doc_id % 3)::VARCHAR, (doc_id % 12)::INT)
+      || CASE WHEN doc_id % 5 = 0 THEN '/d12345678901234567890' ELSE '' END
+      || CASE WHEN doc_id % 97 = 3 THEN '/xxx' ELSE '' END
+      || CASE WHEN doc_id % 7 > 0
+              THEN '?' || substr(repeat('&k=v', (doc_id % 7)::INT), 2)
+              ELSE '' END AS url,
+    length('https://' || source || '.example.nl') AS pre
+  FROM documents
+),
+f AS (
+  SELECT doc_id, url,
+    regexp_extract(substr(url, pre + 1), '^([^?]*)', 1) AS path,
+    CASE WHEN strpos(url, '?') > 0
+         THEN substr(url, strpos(url, '?') + 1) ELSE '' END AS q
+  FROM u
+),
+g AS (
+  SELECT doc_id,
+    len(list_filter(string_split(path, '/'), x -> x <> ''))::BIGINT
+      AS depth,
+    (CASE WHEN q = '' THEN 0
+          ELSE len(list_filter(string_split(q, '&'), x -> x <> '')) END
+    )::BIGINT AS n_params,
+    CASE WHEN length(path) = 0 THEN 0.0::DOUBLE
+         ELSE round((length(path)
+                     - length(regexp_replace(path, '[0-9]', '', 'g'))
+                    )::DOUBLE / length(path), 6) END AS digit_ratio,
+    length(url)::BIGINT AS n_chars,
+    list_has_any(
+      list_transform(list_filter(string_split(path, '/'), x -> x <> ''),
+                     x -> lower(x)),
+      ['xxx', 'porn', 'adult', 'casino', 'viagra']) AS blocked
+  FROM f
+)
+SELECT doc_id, depth, n_params, digit_ratio, n_chars, blocked,
+       (depth <= 8 AND n_params <= 4 AND digit_ratio <= 0.5
+        AND n_chars <= 512 AND NOT blocked) AS keep
+FROM g ORDER BY doc_id
+"""
+
+
 def q_host_pagerank(spark, sf_dir):
     """Crawl-priority PageRank over a 20-host link graph (5 fixed power
     iterations, d=0.85, dangling mass redistributed). Edges are an
@@ -3679,6 +3765,7 @@ FROM rk CROSS JOIN lo ORDER BY rk.host
 #   curation: packing ......... pack_sequences, chunk_documents
 #   multimodal ................ media_features, media_resize, frame_sample
 #   curation: PII/blocklist ... pii_scrub, badword_filter
+#   crawl: URL gating ......... url_filter (pre-fetch C4/FineWeb gate)
 #   curation: model filter .... quality_classifier, perplexity_buckets
 #   curation: domain mix ...... domain_mix
 #   crawl prioritization ...... host_pagerank, trustrank, crawl_depth
@@ -3746,8 +3833,11 @@ FROM rk CROSS JOIN lo ORDER BY rk.host
 #     seat of session_stats (r1-green, driver-graded r1-r5), and
 #     trustrank (seed-personalized spam-demoting PageRank) takes the
 #     seat of dedup_exact (r1-green; the dedup category keeps 4
-#     in-window reps: incremental, retention, components, spans).
-#     Round 6 should cycle the 36 currently-out queries back in.
+#     in-window reps: incremental, retention, components, spans), and
+#     url_filter (pre-fetch URL quality gate) takes the seat of
+#     asof_join_left (r2-green, driver-graded r2-r5; asof coverage
+#     stays in pytest + /verify, asof_latest_event already out).
+#     Round 6 should cycle the 37 currently-out queries back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -3756,7 +3846,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_lines": q_dedup_lines,
     "anchor_rollup": q_anchor_rollup,
     "containment_pairs": q_containment,
-    "asof_join_left": q_asof_join_left,
+    "url_filter": q_url_filter,
     "trustrank": q_trustrank,
     "dedup_spans": q_dedup_spans,
     "lm_bigram_score": q_lm_bigram_score,
@@ -3801,6 +3891,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_bigrams": q_pmi_bigrams,
     # --- positions 51+: oracle-backed but outside the driver's 50-entry
     # window this round (rotation policy above)
+    "asof_join_left": q_asof_join_left,
     "dedup_exact": q_dedup_exact,
     "session_stats": q_session_stats,
     "asof_latest_event": q_asof_latest_event,
@@ -3944,5 +4035,6 @@ ORACLE: dict[str, str] = {
     "badword_filter": ORACLE_BADWORD_FILTER,
     "host_pagerank": ORACLE_HOST_PAGERANK,
     "trustrank": ORACLE_TRUSTRANK,
+    "url_filter": ORACLE_URL_FILTER,
     "crawl_depth": ORACLE_CRAWL_DEPTH,
 }

@@ -411,6 +411,26 @@ def main() -> None:
     )
     run("boilerplate_scrub", boilerplate_scrub(chromed), checksum=True)
 
+    # pre-fetch URL gate: pure zero-shuffle projection (pii_scrub class);
+    # frontier synthesized from doc_id arithmetic like the registry query
+    from nlnieuwscrawler_spark.functions.urls import url_quality_filter
+
+    frontier = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.nl"),
+            F.expr("repeat(concat('/s', cast(doc_id % 3 as string)),"
+                   " cast(doc_id % 12 as int))"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit("/d12345678901234567890")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 > 0,
+                   F.concat(F.lit("?"), F.expr(
+                       "substring(repeat('&k=v', cast(doc_id % 7 as int)), 2)"
+                   ))).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    run("url_filter", url_quality_filter(frontier), checksum=True)
+
     # syndication containment: eager op (localCheckpoint inside) — thunk.
     # NOT run on the word-soup corpus: its 40-word vocabulary makes every
     # trigram's document frequency ≈ n/1000, which defeats prefix

@@ -212,3 +212,46 @@ def test_url_host_twins_agree_on_trailing_dots(spark):
            df.select("u", U.url_host(F.col("u")).alias("h")).collect()}
     for u in cases:
         assert eng[u] == pyurls.url_host(u), u
+
+
+def test_url_quality_filter_gates(spark):
+    """Each gate trips independently; empty path and case-folded
+    blocklist segments behave; normal news URLs pass."""
+    from nlnieuwscrawler_spark.functions.urls import url_quality_filter
+
+    rows = [
+        (1, "https://a.nl/news/2026/article-title"),   # keep
+        (2, "https://a.nl/" + "/".join(["p"] * 10)),   # depth 10 > 8
+        (3, "https://a.nl/x?a=1&b=2&c=3&d=4&e=5"),     # 5 params > 4
+        (4, "https://a.nl/1234567890"),                # digit ratio > 0.5
+        (5, "https://a.nl/stuff/XXX/more"),            # blocked, case-folded
+        (6, "https://a.nl"),                           # empty path: ratio 0
+        (7, "https://a.nl/ok?x=1"),                    # keep
+        (8, "https://a.nl/" + "z" * 600),              # too long
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in url_quality_filter(df).collect()}
+    assert out[1]["keep"] and out[6]["keep"] and out[7]["keep"]
+    assert not out[2]["keep"] and out[2]["depth"] == 10
+    assert not out[3]["keep"] and out[3]["n_params"] == 5
+    assert not out[4]["keep"] and out[4]["digit_ratio"] == 0.909091
+    assert out[5]["blocked"] and not out[5]["keep"]
+    assert out[6]["digit_ratio"] == 0.0 and out[6]["depth"] == 0
+    assert not out[8]["keep"] and out[8]["n_chars"] == 613
+    # blocklist is exact-segment, not substring: 'xxxl' must pass
+    df2 = spark.createDataFrame(
+        [(9, "https://a.nl/xxxl/shop")], "doc_id long, url string"
+    )
+    assert url_quality_filter(df2).collect()[0]["keep"]
+
+
+def test_url_quality_filter_zero_shuffle_plan(spark):
+    """The 100 TB claim: a pure projection — no Exchange at all."""
+    from nlnieuwscrawler_spark.functions.urls import url_quality_filter
+
+    df = spark.createDataFrame(
+        [(i, f"https://h{i}.nl/a/b?x={i}") for i in range(10)],
+        "doc_id long, url string",
+    )
+    plan = url_quality_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
