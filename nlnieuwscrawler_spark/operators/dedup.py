@@ -333,26 +333,67 @@ def dedup_retention(
     id_col: str = "doc_id",
     reliable: bool = False,
     stats: dict | None = None,
+    quality_col: str | None = None,
 ) -> DataFrame:
     """End-to-end keep-one-per-cluster retention → (id, component, keep).
 
     The final step of every near-dup family: pairs (from ngram/minhash/
     simhash/cosine) → connected components (:func:`dedup_components`) →
     every doc labeled with its cluster and a ``keep`` flag (true for the
-    min-id representative and for all singletons). One fp-keyed left join
+    representative and for all singletons). One fp-keyed left join
     against the component table — docs outside the pair graph never enter
     the iterative clustering at all, so at 100 TB the expensive part runs
     on the (tiny) duplicate subgraph only.
+
+    Representative choice: by default the min-id doc (pure id
+    arithmetic — ``keep`` falls out of the component label for free).
+    ``quality_col`` switches to BEST-of-cluster retention — the doc
+    maximizing (quality, then min id on ties) wins, which is what
+    production dedup actually wants (FineWeb keeps the longest /
+    highest-scoring duplicate, not the accidental smallest id). The
+    winner table is computed on the component nodes ONLY (the dup
+    subgraph): one broadcast semi-sized join pulls quality for those
+    ids, one ``max_by(id, struct(quality, -id))`` agg picks winners,
+    and the corpus-sized pass stays a single left join — identical
+    shape to the min-id path, one extra metadata-sized agg.
     """
     comp = dedup_components(pairs, reliable=reliable, stats=stats)
     label = F.coalesce(F.col("component"), F.col("doc_id"))
+    if quality_col is None:
+        return (
+            docs.select(F.col(id_col).alias("doc_id"))
+            .join(comp, "doc_id", "left")
+            .select(
+                F.col("doc_id").alias(id_col),
+                label.alias("component"),
+                (label == F.col("doc_id")).alias("keep"),
+            )
+        )
+    # quality-aware: winners computed on the dup subgraph only
+    node_q = comp.join(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(quality_col).alias("__q")
+        ),
+        "doc_id",
+    )
+    winners = node_q.groupBy("component").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("__q"), (-F.col("doc_id")).alias("__n"))
+        ).alias("__winner")
+    )
     return (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(comp, "doc_id", "left")
+        .join(F.broadcast(comp), "doc_id", "left")
+        .join(F.broadcast(winners), "component", "left")
         .select(
             F.col("doc_id").alias(id_col),
-            label.alias("component"),
-            (label == F.col("doc_id")).alias("keep"),
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "component"
+            ),
+            (
+                F.col("component").isNull()
+                | (F.col("doc_id") == F.col("__winner"))
+            ).alias("keep"),
         )
     )
 

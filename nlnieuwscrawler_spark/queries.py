@@ -2362,6 +2362,69 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_retention_best(spark, sf_dir):
+    """Quality-aware near-dup retention: same Jaccard pair graph as
+    dedup_retention, but the cluster representative is the LONGEST doc
+    (quality_col=n_chars, ties to min id) — FineWeb's keep-the-best rule
+    instead of the accidental min-id (operators/dedup.py:dedup_retention)."""
+    from nlnieuwscrawler_spark.operators.dedup import (
+        dedup_retention,
+        ngram_jaccard_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.7)
+    return dedup_retention(d, pairs, quality_col="n_chars").orderBy("doc_id")
+
+
+ORACLE_DEDUP_RETENTION_BEST = """
+WITH RECURSIVE g AS (
+  SELECT doc_id, lang,
+    list_distinct(list_transform(
+      range(1, greatest(len(string_split_regex(trim(lower(text)),'\\s+'))-2,0)+1),
+      i -> string_split_regex(trim(lower(text)),'\\s+')[i] || ' ' ||
+           string_split_regex(trim(lower(text)),'\\s+')[i+1] || ' ' ||
+           string_split_regex(trim(lower(text)),'\\s+')[i+2])) AS grams
+  FROM documents
+), pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_filter(a.grams, x -> list_contains(b.grams, x)))::DOUBLE /
+             (len(a.grams) + len(b.grams)
+              - len(list_filter(a.grams, x -> list_contains(b.grams, x)))) AS jacc
+    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  ) WHERE jacc >= 0.7
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+), w AS (
+  -- winner per component: longest doc, ties to min id (row_number
+  -- window — DuckDB arg_max has no struct-key overload)
+  SELECT component, doc_id AS winner FROM (
+    SELECT c.component, c.doc_id,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY d2.n_chars DESC, c.doc_id) AS rn
+    FROM comp c JOIN documents d2 ON c.doc_id = d2.doc_id
+  ) WHERE rn = 1
+)
+SELECT d.doc_id AS doc_id,
+       coalesce(c.component, d.doc_id)::BIGINT AS component,
+       (c.component IS NULL OR d.doc_id = w.winner) AS keep
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.doc_id
+LEFT JOIN w ON c.component = w.component
+ORDER BY doc_id
+"""
+
+
 def q_chunk_documents(spark, sf_dir):
     """Overlapping token-window chunking (window=32, stride=24) — the
     sequence-prep flatMap; zero shuffles, pure higher-order exprs
@@ -3836,8 +3899,10 @@ FROM rk CROSS JOIN lo ORDER BY rk.host
 #     in-window reps: incremental, retention, components, spans), and
 #     url_filter (pre-fetch URL quality gate) takes the seat of
 #     asof_join_left (r2-green, driver-graded r2-r5; asof coverage
-#     stays in pytest + /verify, asof_latest_event already out).
-#     Round 6 should cycle the 37 currently-out queries back in.
+#     stays in pytest + /verify, asof_latest_event already out), and
+#     dedup_retention_best (FineWeb keep-the-longest retention via
+#     quality_col) takes the seat of lang_id (r1-green, graded r1-r5).
+#     Round 6 should cycle the 38 currently-out queries back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -3861,7 +3926,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_bruteforce": q_ann_bruteforce,
     "cosine_neardup": q_cosine_neardup,
-    "lang_id": q_lang_id,
+    "dedup_retention_best": q_dedup_retention_best,
     "quality_classifier": q_quality_classifier,
     "importance_sample": q_importance_sample,
     "domain_mix": q_domain_mix,
@@ -3891,6 +3956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_bigrams": q_pmi_bigrams,
     # --- positions 51+: oracle-backed but outside the driver's 50-entry
     # window this round (rotation policy above)
+    "lang_id": q_lang_id,
     "asof_join_left": q_asof_join_left,
     "dedup_exact": q_dedup_exact,
     "session_stats": q_session_stats,
@@ -4036,5 +4102,6 @@ ORACLE: dict[str, str] = {
     "host_pagerank": ORACLE_HOST_PAGERANK,
     "trustrank": ORACLE_TRUSTRANK,
     "url_filter": ORACLE_URL_FILTER,
+    "dedup_retention_best": ORACLE_DEDUP_RETENTION_BEST,
     "crawl_depth": ORACLE_CRAWL_DEPTH,
 }

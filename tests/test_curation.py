@@ -555,3 +555,31 @@ def test_boilerplate_scrub_corpus_side_never_shuffles(spark):
         inputs = [l for l in b.splitlines() if l.startswith("Input")]
         assert inputs, b
         assert "text#" not in inputs[0], b
+
+
+def test_dedup_retention_quality_aware(spark):
+    """quality_col switches retention from min-id to best-of-cluster:
+    max quality wins, ties break to the SMALLEST id; singletons and
+    docs outside the pair graph always keep; default path unchanged."""
+    from nlnieuwscrawler_spark.operators.dedup import dedup_retention
+
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (4, 1.0), (5, 7.0)],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )  # cluster {1,2,3}; 4 and 5 singletons
+    out = {
+        r["doc_id"]: r
+        for r in dedup_retention(docs, pairs, quality_col="q").collect()
+    }
+    # max q = 9.0 shared by 2 and 3 -> tie to min id 2
+    assert out[2]["keep"] and not out[1]["keep"] and not out[3]["keep"]
+    assert out[4]["keep"] and out[5]["keep"]
+    assert out[1]["component"] == out[2]["component"] == out[3]["component"]
+    # default (min-id) path keeps doc 1 instead — and is unchanged
+    base = {
+        r["doc_id"]: r for r in dedup_retention(docs, pairs).collect()
+    }
+    assert base[1]["keep"] and not base[2]["keep"] and not base[3]["keep"]
