@@ -339,3 +339,78 @@ def anchor_rollup(
         F.countDistinct(a).cast("long").alias("n_anchors"),
     )
     return roll.join(top, "host")
+
+
+def host_link_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-host link-graph spam features → (host, outdeg, indeg,
+    out_hosts, in_hosts, reciprocity). The structural complement to
+    :func:`trustrank`: link farms show near-total reciprocity (every
+    out-link answered by a return link) and low distinct-neighbor
+    variety, while organic news hosts link out far more broadly than
+    they are linked back (Gyöngyi & Garcia-Molina's link-spam-alliance
+    observations; degree/reciprocity are the classic first-cut
+    features).
+
+    Semantics on the DISTINCT (src, dst) edge set, self-loops excluded:
+    ``outdeg``/``indeg`` are distinct out-/in-edges, ``out_hosts``/
+    ``in_hosts`` the distinct counterparties (equal to the degrees on a
+    simple graph, kept separate so multigraph inputs stay honest),
+    ``reciprocity`` = reciprocal out-edges / outdeg, 6 dp, 0.0 for
+    hosts with no out-edges. Hosts = union of all endpoints.
+
+    100 TB shape: the edge table is deduped once and reused across four
+    map-side-combinable narrow aggs plus ONE self-equi-join on the full
+    (src, dst) pair for reciprocity (hash join on both keys — never a
+    cross product); the per-host assembly is outer joins of |hosts|-row
+    aggregates. Nothing wider than two longs ever shuffles.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    out_agg = e.groupBy("src").agg(
+        F.count(F.lit(1)).alias("outdeg"),
+        F.count_distinct("dst").alias("out_hosts"),
+    )
+    in_agg = e.groupBy("dst").agg(
+        F.count(F.lit(1)).alias("indeg"),
+        F.count_distinct("src").alias("in_hosts"),
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (
+        e.join(rev, ["src", "dst"])
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("__recip"))
+    )
+    hosts = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    return (
+        hosts.join(out_agg, hosts["host"] == out_agg["src"], "left")
+        .join(in_agg, hosts["host"] == in_agg["dst"], "left")
+        .join(recip, hosts["host"] == recip["src"], "left")
+        .select(
+            "host",
+            F.coalesce(F.col("outdeg"), F.lit(0)).cast("long").alias("outdeg"),
+            F.coalesce(F.col("indeg"), F.lit(0)).cast("long").alias("indeg"),
+            F.coalesce(F.col("out_hosts"), F.lit(0)).cast("long")
+            .alias("out_hosts"),
+            F.coalesce(F.col("in_hosts"), F.lit(0)).cast("long")
+            .alias("in_hosts"),
+            F.when(F.coalesce(F.col("outdeg"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce(F.col("__recip"), F.lit(0)).cast("double")
+                    / F.col("outdeg"),
+                    6,
+                )
+            )
+            .alias("reciprocity"),
+        )
+    )

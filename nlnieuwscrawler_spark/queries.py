@@ -3080,6 +3080,65 @@ def q_trustrank(spark, sf_dir):
 ORACLE_TRUSTRANK = _pagerank_oracle(seeds=[0, 1])
 
 
+def q_link_stats(spark, sf_dir):
+    """Per-host link-spam features over the SAME deterministic 20-host
+    graph as host_pagerank: degrees, distinct counterparties, and
+    reciprocity — link farms answer every out-link, organic hosts don't
+    (operators/graph.py:host_link_stats)."""
+    from nlnieuwscrawler_spark.operators.graph import host_link_stats
+
+    d = load(spark, sf_dir, "documents")
+
+    def h(salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 20
+        )
+
+    edges = d.select(h("s").alias("src"), h("d").alias("dst"))
+    return host_link_stats(edges).orderBy("host")
+
+
+ORACLE_LINK_STATS = """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT (('0x' || substr(md5('s' || doc_id::VARCHAR),1,4))::UBIGINT
+            % 20)::BIGINT AS src,
+           (('0x' || substr(md5('d' || doc_id::VARCHAR),1,4))::UBIGINT
+            % 20)::BIGINT AS dst
+    FROM documents) WHERE src <> dst
+),
+hosts AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+o AS (SELECT src, count(*) AS outdeg, count(DISTINCT dst) AS out_hosts
+      FROM e GROUP BY src),
+i AS (SELECT dst, count(*) AS indeg, count(DISTINCT src) AS in_hosts
+      FROM e GROUP BY dst),
+r AS (SELECT a.src, count(*) AS recip
+      FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src GROUP BY a.src)
+SELECT h.host,
+  coalesce(o.outdeg, 0)::BIGINT AS outdeg,
+  coalesce(i.indeg, 0)::BIGINT AS indeg,
+  coalesce(o.out_hosts, 0)::BIGINT AS out_hosts,
+  coalesce(i.in_hosts, 0)::BIGINT AS in_hosts,
+  CASE WHEN coalesce(o.outdeg, 0) = 0 THEN 0.0::DOUBLE
+       ELSE round(coalesce(r.recip, 0)::DOUBLE / o.outdeg, 6) END
+    AS reciprocity
+FROM hosts h
+LEFT JOIN o ON h.host = o.src
+LEFT JOIN i ON h.host = i.dst
+LEFT JOIN r ON h.host = r.src
+ORDER BY h.host
+"""
+
+
 def q_crawl_depth(spark, sf_dir):
     """Crawl-depth labeling: min-hop BFS distance of every host from the
     seed hosts {0, 1} over the same deterministic 20-host link graph as
@@ -3832,6 +3891,7 @@ FROM rk CROSS JOIN lo ORDER BY rk.host
 #   curation: model filter .... quality_classifier, perplexity_buckets
 #   curation: domain mix ...... domain_mix
 #   crawl prioritization ...... host_pagerank, trustrank, crawl_depth
+#   link-spam features ........ link_stats (degree/reciprocity per host)
 #   link graph: anchors ....... anchor_rollup
 #   curation: boilerplate ..... boilerplate_scrub (cross-doc), dedup_lines (intra-doc)
 #   crawl scheduling .......... recrawl_schedule, snapshot_delta
@@ -3901,8 +3961,10 @@ FROM rk CROSS JOIN lo ORDER BY rk.host
 #     asof_join_left (r2-green, driver-graded r2-r5; asof coverage
 #     stays in pytest + /verify, asof_latest_event already out), and
 #     dedup_retention_best (FineWeb keep-the-longest retention via
-#     quality_col) takes the seat of lang_id (r1-green, graded r1-r5).
-#     Round 6 should cycle the 38 currently-out queries back in.
+#     quality_col) takes the seat of lang_id (r1-green, graded r1-r5),
+#     and link_stats (per-host degree/reciprocity spam features) takes
+#     the seat of train_test_split (r3-green, graded r4-r5).
+#     Round 6 should cycle the 39 currently-out queries back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -3941,7 +4003,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
     "dedup_components": q_dedup_components,
-    "train_test_split": q_train_test_split,
+    "link_stats": q_link_stats,
     "bm25_search": q_bm25_search,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
@@ -3956,6 +4018,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_bigrams": q_pmi_bigrams,
     # --- positions 51+: oracle-backed but outside the driver's 50-entry
     # window this round (rotation policy above)
+    "train_test_split": q_train_test_split,
     "lang_id": q_lang_id,
     "asof_join_left": q_asof_join_left,
     "dedup_exact": q_dedup_exact,
@@ -4103,5 +4166,6 @@ ORACLE: dict[str, str] = {
     "trustrank": ORACLE_TRUSTRANK,
     "url_filter": ORACLE_URL_FILTER,
     "dedup_retention_best": ORACLE_DEDUP_RETENTION_BEST,
+    "link_stats": ORACLE_LINK_STATS,
     "crawl_depth": ORACLE_CRAWL_DEPTH,
 }

@@ -297,6 +297,11 @@ def main() -> None:
     timings["trustrank"] = round(time.perf_counter() - t0, 2)
     print(json.dumps({"op": "trustrank", "rows": n_tr, "n_hosts": n_hosts,
                       "sec": timings["trustrank"], **tr_stats}))
+
+    # link-spam features: four narrow aggs + ONE (src,dst) self-equi-join
+    from nlnieuwscrawler_spark.operators.graph import host_link_stats
+
+    run("link_stats", host_link_stats(edges), checksum=True)
     from nlnieuwscrawler_spark.operators.graph import crawl_depth
 
     bfs_stats: dict = {}

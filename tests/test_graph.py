@@ -219,3 +219,23 @@ def test_trustrank_multi_seed_and_empty_seed_rejected(spark):
         assert abs(got[h] - want[h]) < 1e-9, (h, got[h], want[h])
     with _pytest.raises(ValueError):
         trustrank(_edges(spark, pairs), n_nodes=4, seeds=[])
+
+
+def test_host_link_stats_reciprocity_and_degrees(spark):
+    """Spam pair 0<->1 shows full reciprocity; organic host 2 links out
+    broadly with one answered link (1/3); self-loops and duplicate
+    edges are excluded before any counting."""
+    from nlnieuwscrawler_spark.operators.graph import host_link_stats
+
+    pairs = [(0, 1), (1, 0), (2, 0), (2, 1), (2, 3), (3, 2), (4, 4), (2, 0)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    out = {r["host"]: r for r in host_link_stats(df).collect()}
+    assert 4 not in out                       # self-loop-only host drops out
+    assert out[0]["reciprocity"] == 1.0 and out[1]["reciprocity"] == 1.0
+    assert out[2]["outdeg"] == 3 and out[2]["out_hosts"] == 3  # dup edge deduped
+    assert out[2]["reciprocity"] == 0.333333
+    assert out[3]["indeg"] == 1 and out[3]["in_hosts"] == 1
+    # a pure sink has outdeg 0 and reciprocity 0.0 (not null/NaN)
+    sink = spark.createDataFrame([(7, 8)], "src long, dst long")
+    got = {r["host"]: r for r in host_link_stats(sink).collect()}
+    assert got[8]["outdeg"] == 0 and got[8]["reciprocity"] == 0.0
