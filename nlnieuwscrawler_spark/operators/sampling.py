@@ -247,3 +247,51 @@ def importance_sample(
         .filter(draw < F.col(prob_col))
         .withColumn(weight_col, F.round(F.lit(1.0) / F.col(prob_col), 6))
     )
+
+
+def select_top_percent(
+    df,
+    percent: int = 10,
+    score_col: str = "score",
+    by_col: str = "source",
+    id_col: str = "doc_id",
+):
+    """Top-percent quality selection per group → (id, group,
+    rank_in_source, n_source, keep): keep the best ``percent``% of each
+    group's docs by score (ties → min id), the FineWeb-Edu cut ("keep
+    the top 10% by classifier score") expressed as an exact integer
+    rule — quota = ceil(n·P/100) via ``(n·P + 99) DIV 100``, so both
+    engines agree without any float threshold. Complements
+    ``stratified_sample`` (fixed quota, md5 draw) and ``domain_mix``
+    (temperature weights): this one is score-ORDERED selection.
+
+    100 TB shape: ranking runs on the NARROW (group, score, id)
+    projection through ``global_sequence`` — the range-partitioned
+    parallel rank, NO per-group single-task window, so one group owning
+    30% of the corpus costs nothing extra (ordering by (group, -score,
+    id) makes every group a contiguous seq run); per-group offsets and
+    counts come from a |groups|-row broadcast agg, and the corpus text
+    never enters any exchange (the caller joins survivors back by id,
+    the stratified_sample lesson).
+    """
+    from nlnieuwscrawler_spark.operators.sequence import global_sequence
+
+    narrow = df.select(
+        F.col(by_col), F.col(id_col), F.col(score_col)
+    ).withColumn("__neg", -F.col(score_col))
+    ranked = global_sequence(
+        narrow, [by_col, "__neg", id_col], seq_col="__seq"
+    )
+    per_group = ranked.groupBy(by_col).agg(
+        F.min("__seq").alias("__min"),
+        F.count(F.lit(1)).cast("long").alias("n_source"),
+    )
+    rank = F.col("__seq") - F.col("__min") + F.lit(1)
+    quota = F.expr(f"(n_source * {int(percent)} + 99) DIV 100")
+    return ranked.join(F.broadcast(per_group), by_col).select(
+        F.col(id_col),
+        F.col(by_col),
+        rank.cast("long").alias("rank_in_source"),
+        F.col("n_source"),
+        (rank <= quota).alias("keep"),
+    )

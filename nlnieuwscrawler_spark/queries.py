@@ -2425,6 +2425,35 @@ ORDER BY doc_id
 """
 
 
+def q_select_top_percent(spark, sf_dir):
+    """FineWeb-Edu-style top-percent cut: keep each source's longest
+    10% of docs (score = n_chars, ties → min id), exact integer quota
+    ceil(n·10/100) — score-ordered selection, the complement to
+    stratified_sample's fixed-quota draw
+    (operators/sampling.py:select_top_percent)."""
+    from nlnieuwscrawler_spark.operators.sampling import select_top_percent
+
+    d = load(spark, sf_dir, "documents")
+    return select_top_percent(
+        d, percent=10, score_col="n_chars"
+    ).orderBy("doc_id")
+
+
+ORACLE_SELECT_TOP_PERCENT = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n_source
+  FROM documents
+)
+SELECT doc_id, source, rk::BIGINT AS rank_in_source,
+       n_source::BIGINT AS n_source,
+       (rk <= (n_source * 10 + 99) // 100) AS keep
+FROM r ORDER BY doc_id
+"""
+
+
 def q_chunk_documents(spark, sf_dir):
     """Overlapping token-window chunking (window=32, stride=24) — the
     sequence-prep flatMap; zero shuffles, pure higher-order exprs
@@ -3963,8 +3992,12 @@ FROM rk CROSS JOIN lo ORDER BY rk.host
 #     dedup_retention_best (FineWeb keep-the-longest retention via
 #     quality_col) takes the seat of lang_id (r1-green, graded r1-r5),
 #     and link_stats (per-host degree/reciprocity spam features) takes
-#     the seat of train_test_split (r3-green, graded r4-r5).
-#     Round 6 should cycle the 39 currently-out queries back in.
+#     the seat of train_test_split (r3-green, graded r4-r5), and
+#     select_top_percent (FineWeb-Edu top-P% score cut via the
+#     range-partitioned parallel rank) takes the seat of ann_bruteforce
+#     (r1-green, graded r1-r5; cosine_neardup keeps the embedding
+#     category in-window). Round 6 should cycle the 40 currently-out
+#     queries back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -3986,7 +4019,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_pagerank": q_host_pagerank,
     "crawl_depth": q_crawl_depth,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "ann_bruteforce": q_ann_bruteforce,
+    "select_top_percent": q_select_top_percent,
     "cosine_neardup": q_cosine_neardup,
     "dedup_retention_best": q_dedup_retention_best,
     "quality_classifier": q_quality_classifier,
@@ -4018,6 +4051,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_bigrams": q_pmi_bigrams,
     # --- positions 51+: oracle-backed but outside the driver's 50-entry
     # window this round (rotation policy above)
+    "ann_bruteforce": q_ann_bruteforce,
     "train_test_split": q_train_test_split,
     "lang_id": q_lang_id,
     "asof_join_left": q_asof_join_left,
@@ -4167,5 +4201,6 @@ ORACLE: dict[str, str] = {
     "url_filter": ORACLE_URL_FILTER,
     "dedup_retention_best": ORACLE_DEDUP_RETENTION_BEST,
     "link_stats": ORACLE_LINK_STATS,
+    "select_top_percent": ORACLE_SELECT_TOP_PERCENT,
     "crawl_depth": ORACLE_CRAWL_DEPTH,
 }

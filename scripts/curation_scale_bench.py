@@ -302,6 +302,16 @@ def main() -> None:
     from nlnieuwscrawler_spark.operators.graph import host_link_stats
 
     run("link_stats", host_link_stats(edges), checksum=True)
+
+    # FineWeb-Edu top-P% cut: range-partitioned parallel rank on the
+    # narrow (source, score, id) projection — no per-group window task
+    from nlnieuwscrawler_spark.operators.sampling import select_top_percent
+
+    scored_docs = docs.select(
+        "doc_id", "source", F.length("text").cast("long").alias("score")
+    )
+    run("select_top_percent",
+        lambda: select_top_percent(scored_docs, percent=10), checksum=True)
     from nlnieuwscrawler_spark.operators.graph import crawl_depth
 
     bfs_stats: dict = {}

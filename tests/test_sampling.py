@@ -318,3 +318,24 @@ def test_importance_sample_matches_manual_md5_draw(spark, docs):
     assert kept == expect
     # sane acceptance rate on the uniform draw (binomial, n=500)
     assert abs(len(kept) / docs.count() - p) < 0.08
+
+
+def test_select_top_percent_quota_and_ties(spark):
+    """Exact integer quota ceil(n*P/100) per group; ties break to the
+    smallest id; singleton groups always keep their one doc (quota>=1)."""
+    from nlnieuwscrawler_spark.operators.sampling import select_top_percent
+
+    rows = (
+        [(i, "A", (i + 1) * 10.0) for i in range(5)]   # scores 10..50
+        + [(10, "B", 7.0), (11, "B", 7.0), (12, "B", 1.0)]  # tie at 7.0
+        + [(20, "C", 0.0)]                              # singleton
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = {r["doc_id"]: r for r in select_top_percent(df, percent=40).collect()}
+    # A: ceil(5*0.4)=2 -> top-2 scores (docs 4, 3)
+    assert out[4]["keep"] and out[3]["keep"] and not out[2]["keep"]
+    # B: ceil(3*0.4)=2 -> both 7.0s keep, tie ranks by id: 10 then 11
+    assert out[10]["rank_in_source"] == 1 and out[11]["rank_in_source"] == 2
+    assert out[10]["keep"] and out[11]["keep"] and not out[12]["keep"]
+    # C singleton: ceil(1*0.4)=1 -> keeps
+    assert out[20]["keep"] and out[20]["n_source"] == 1
