@@ -278,3 +278,58 @@ def url_quality_filter(
         blocked.alias("blocked"),
         keep.alias("keep"),
     )
+
+
+def bitext_candidates(
+    df,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    langs: tuple = ("nl", "en", "de", "fr"),
+):
+    """Parallel-corpus candidate mining by URL structure (the ParaCrawl
+    first stage, public): sites publish language variants of the same
+    page under a language path segment (``/nl/artikel-5`` ↔
+    ``/en/artikel-5``), so normalizing that segment to a placeholder
+    and self-joining on (host, normalized path) yields aligned-document
+    CANDIDATES without touching the text — embedding/content alignment
+    (our cosine ops) then scores them. Returns
+    (doc_a, doc_b, host, lang_a, lang_b, page_key) with lang_a <
+    lang_b; docs whose URL has no leading language segment never pair.
+
+    100 TB shape: one zero-shuffle projection builds the narrow
+    (host, page_key, lang, id) candidate-key table, then ONE
+    self-equi-join on BOTH keys — hash join, never a cross product; the
+    page_key cardinality ≈ pages, so no hot keys (a viral page has a
+    handful of language variants, not millions). Regex is RE2-safe
+    (alternation + anchors, no lookahead) so the DuckDB twin runs the
+    same pattern.
+    """
+    alt = "|".join(langs)
+    url = F.col(url_col)
+    path = url_path(url)
+    lang_seg = F.regexp_extract(path, f"^/({alt})(/|$)", 1)
+    page_key = F.regexp_replace(path, f"^/({alt})(/|$)", "/__L__$2")
+    keyed = df.select(
+        F.col(id_col),
+        url_host(url).alias("host"),
+        lang_seg.alias("__lang"),
+        page_key.alias("page_key"),
+    ).filter(F.col("__lang") != "")
+    a = keyed.select(
+        F.col(id_col).alias("doc_a"),
+        "host",
+        F.col("__lang").alias("lang_a"),
+        "page_key",
+    )
+    b = keyed.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("host").alias("__hb"),
+        F.col("__lang").alias("lang_b"),
+        F.col("page_key").alias("__kb"),
+    )
+    return a.join(
+        b,
+        (F.col("host") == F.col("__hb"))
+        & (F.col("page_key") == F.col("__kb"))
+        & (F.col("lang_a") < F.col("lang_b")),
+    ).select("doc_a", "doc_b", "host", "lang_a", "lang_b", "page_key")

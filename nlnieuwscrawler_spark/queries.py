@@ -2973,6 +2973,63 @@ FROM g ORDER BY doc_id
 """
 
 
+def q_bitext_candidates(spark, sf_dir):
+    """Parallel-corpus candidate mining over a deterministic frontier:
+    every 4 consecutive doc_ids are the nl/en/de/fr variants of one page
+    on host h(page%10), so each quad yields C(4,2)=6 candidate pairs at
+    every SF; the oracle parses the same URL strings
+    (functions/urls.py:bitext_candidates)."""
+    from nlnieuwscrawler_spark.functions.urls import bitext_candidates
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    page = (did / 4).cast("long")
+    lang = F.element_at(
+        F.array(F.lit("nl"), F.lit("en"), F.lit("de"), F.lit("fr")),
+        (did % 4 + 1).cast("int"),
+    )
+    frontier = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            (page % 10).cast("string"),
+            F.lit(".example.nl/"),
+            lang,
+            F.lit("/art-"),
+            page.cast("string"),
+        ).alias("url"),
+    )
+    return bitext_candidates(frontier).orderBy("doc_a", "doc_b")
+
+
+ORACLE_BITEXT = """
+WITH u AS (
+  SELECT doc_id,
+    'https://h' || ((doc_id // 4) % 10)::VARCHAR || '.example.nl/'
+      || (['nl','en','de','fr'])[(doc_id % 4 + 1)::INT]
+      || '/art-' || (doc_id // 4)::VARCHAR AS url
+  FROM documents
+),
+k AS (
+  SELECT doc_id,
+    regexp_extract(url, '^https://([^/]+)', 1) AS host,
+    regexp_extract(
+      substr(url, length(regexp_extract(url, '^https://([^/]+)', 1)) + 9),
+      '^/(nl|en|de|fr)(/|$)', 1) AS lang,
+    regexp_replace(
+      substr(url, length(regexp_extract(url, '^https://([^/]+)', 1)) + 9),
+      '^/(nl|en|de|fr)(/|$)', '/__L__\\2') AS page_key
+  FROM u
+),
+f AS (SELECT * FROM k WHERE lang <> '')
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.host,
+       a.lang AS lang_a, b.lang AS lang_b, a.page_key
+FROM f a JOIN f b
+  ON a.host = b.host AND a.page_key = b.page_key AND a.lang < b.lang
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_host_pagerank(spark, sf_dir):
     """Crawl-priority PageRank over a 20-host link graph (5 fixed power
     iterations, d=0.85, dangling mass redistributed). Edges are an
@@ -3917,6 +3974,7 @@ FROM rk CROSS JOIN lo ORDER BY rk.host
 #   multimodal ................ media_features, media_resize, frame_sample
 #   curation: PII/blocklist ... pii_scrub, badword_filter
 #   crawl: URL gating ......... url_filter (pre-fetch C4/FineWeb gate)
+#   bitext mining ............. bitext_candidates (ParaCrawl URL pairing)
 #   curation: model filter .... quality_classifier, perplexity_buckets
 #   curation: domain mix ...... domain_mix
 #   crawl prioritization ...... host_pagerank, trustrank, crawl_depth
@@ -3996,8 +4054,10 @@ FROM rk CROSS JOIN lo ORDER BY rk.host
 #     select_top_percent (FineWeb-Edu top-P% score cut via the
 #     range-partitioned parallel rank) takes the seat of ann_bruteforce
 #     (r1-green, graded r1-r5; cosine_neardup keeps the embedding
-#     category in-window). Round 6 should cycle the 40 currently-out
-#     queries back in.
+#     category in-window), and bitext_candidates (ParaCrawl URL-based
+#     parallel-corpus mining) takes the seat of frame_sample (r4-green,
+#     graded r4-r5; media_features keeps multimodal in-window).
+#     Round 6 should cycle the 41 currently-out queries back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -4034,7 +4094,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stateful_budget": q_stateful_budget,
     "stream_session": q_stream_session,
     "media_features": q_media_features,
-    "frame_sample": q_frame_sample,
+    "bitext_candidates": q_bitext_candidates,
     "dedup_components": q_dedup_components,
     "link_stats": q_link_stats,
     "bm25_search": q_bm25_search,
@@ -4051,6 +4111,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_bigrams": q_pmi_bigrams,
     # --- positions 51+: oracle-backed but outside the driver's 50-entry
     # window this round (rotation policy above)
+    "frame_sample": q_frame_sample,
     "ann_bruteforce": q_ann_bruteforce,
     "train_test_split": q_train_test_split,
     "lang_id": q_lang_id,
@@ -4202,5 +4263,6 @@ ORACLE: dict[str, str] = {
     "dedup_retention_best": ORACLE_DEDUP_RETENTION_BEST,
     "link_stats": ORACLE_LINK_STATS,
     "select_top_percent": ORACLE_SELECT_TOP_PERCENT,
+    "bitext_candidates": ORACLE_BITEXT,
     "crawl_depth": ORACLE_CRAWL_DEPTH,
 }

@@ -312,6 +312,23 @@ def main() -> None:
     )
     run("select_top_percent",
         lambda: select_top_percent(scored_docs, percent=10), checksum=True)
+
+    # ParaCrawl bitext mining: narrow projection + one (host, page_key)
+    # self-equi-join; quads of consecutive ids are 4 language variants
+    from nlnieuwscrawler_spark.functions.urls import bitext_candidates
+
+    page = (F.col("doc_id") / 4).cast("long")
+    lang4 = F.element_at(
+        F.array(F.lit("nl"), F.lit("en"), F.lit("de"), F.lit("fr")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    bt_frontier = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://h"), (page % 1000).cast("string"),
+                 F.lit(".example.nl/"), lang4, F.lit("/art-"),
+                 page.cast("string")).alias("url"),
+    )
+    run("bitext_candidates", bitext_candidates(bt_frontier), checksum=True)
     from nlnieuwscrawler_spark.operators.graph import crawl_depth
 
     bfs_stats: dict = {}

@@ -255,3 +255,28 @@ def test_url_quality_filter_zero_shuffle_plan(spark):
     )
     plan = url_quality_filter(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bitext_candidates_pairing_rules(spark):
+    """Same host + same normalized path + different lang segment pairs;
+    different host/page or no lang segment never pairs; bare language
+    segments ('/nl') pair; lang_a < lang_b canonical ordering."""
+    from nlnieuwscrawler_spark.functions.urls import bitext_candidates
+
+    rows = [
+        (1, "https://a.nl/nl/artikel-5"),
+        (2, "https://a.nl/en/artikel-5"),
+        (3, "https://a.nl/de/artikel-5"),
+        (4, "https://b.nl/en/artikel-5"),       # other host
+        (5, "https://a.nl/nl/other"),           # other page
+        (6, "https://a.nl/nonlang/artikel-5"),  # no lang segment
+        (7, "https://a.nl/nl"),
+        (8, "https://a.nl/en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {(r["doc_a"], r["doc_b"]) for r in bitext_candidates(df).collect()}
+    assert got == {(2, 1), (3, 1), (3, 2), (8, 7)}
+    rows2 = [r for r in bitext_candidates(df).collect()]
+    assert all(r["lang_a"] < r["lang_b"] for r in rows2)
+    # 'nonlang' is not a prefix-match trap: '/nl...' inside it must not fire
+    assert not any(6 in (a, b) for a, b in got)
