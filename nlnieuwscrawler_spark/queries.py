@@ -3544,6 +3544,74 @@ def q_snapshot_delta(spark, sf_dir):
     ).orderBy("user_id", "page")
 
 
+def q_revision_diff(spark, sf_dir):
+    """Content-level change magnitude between consecutive crawl
+    snapshots: every doc is a page with 3 planted snapshots (window 1,
+    window 2, window 2 again) so identical, partial-overlap and
+    first-snapshot cases all occur at every SF
+    (operators/recrawl.py:revision_diff)."""
+    from nlnieuwscrawler_spark.operators.recrawl import revision_diff
+
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    snaps = d.select(
+        F.col("doc_id").alias("page"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("ts"),
+                         F.substring(t, 1, 80).alias("snap")),
+                F.struct(F.lit(2).alias("ts"),
+                         F.substring(t, 41, 80).alias("snap")),
+                F.struct(F.lit(3).alias("ts"),
+                         F.substring(t, 41, 80).alias("snap")),
+            )
+        ).alias("s"),
+    ).select("page", F.col("s.ts").cast("long").alias("ts"),
+             F.col("s.snap").alias("text"))
+    return revision_diff(snaps).orderBy("page", "ts")
+
+
+ORACLE_REVISION_DIFF = """
+WITH s AS (
+  SELECT doc_id AS page, 1::BIGINT AS ts, substr(text, 1, 80) AS t
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 2, substr(text, 41, 80) FROM documents
+  UNION ALL
+  SELECT doc_id, 3, substr(text, 41, 80) FROM documents
+),
+k AS (
+  SELECT page, ts,
+    list_distinct(list_filter(
+      string_split_regex(trim(lower(t)), '\\s+'), x -> x <> '')) AS toks
+  FROM s
+),
+l AS (
+  SELECT page, ts, toks,
+         lag(toks) OVER (PARTITION BY page ORDER BY ts) AS prev
+  FROM k
+),
+j AS (
+  SELECT page, ts, len(toks)::BIGINT AS n_tokens,
+    CASE WHEN prev IS NULL THEN NULL
+         WHEN len(toks) + len(prev) = 0 THEN 1.0::DOUBLE
+         WHEN (len(toks) + len(prev)
+               - len(list_filter(toks, x -> list_contains(prev, x)))) = 0
+           THEN 1.0::DOUBLE
+         ELSE round(
+           len(list_filter(toks, x -> list_contains(prev, x)))::DOUBLE
+           / (len(toks) + len(prev)
+              - len(list_filter(toks, x -> list_contains(prev, x)))), 6)
+    END AS word_jaccard
+  FROM l
+)
+SELECT page, ts, n_tokens, word_jaccard,
+       CASE WHEN word_jaccard IS NULL THEN NULL
+            ELSE word_jaccard < 1.0 END AS changed
+FROM j ORDER BY page, ts
+"""
+
+
 ORACLE_SNAPSHOT_DELTA = """
 WITH b AS (
   SELECT ((epoch(min(ts))::BIGINT + epoch(max(ts))::BIGINT) // 2) AS split
@@ -4056,8 +4124,11 @@ FROM rk CROSS JOIN lo ORDER BY rk.host
 #     (r1-green, graded r1-r5; cosine_neardup keeps the embedding
 #     category in-window), and bitext_candidates (ParaCrawl URL-based
 #     parallel-corpus mining) takes the seat of frame_sample (r4-green,
-#     graded r4-r5; media_features keeps multimodal in-window).
-#     Round 6 should cycle the 41 currently-out queries back in.
+#     graded r4-r5; media_features keeps multimodal in-window), and
+#     revision_diff (consecutive-snapshot change magnitude) takes the
+#     seat of stream_dedup_users (r3-green; 4 streaming reps remain
+#     in-window). Round 6 should cycle the 42 currently-out queries
+#     back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -4090,7 +4161,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recrawl_schedule": q_recrawl_schedule,
     "plan_crawl": q_plan_crawl,
     "source_quality": q_source_quality,
-    "stream_dedup_users": q_stream_dedup_users,
+    "revision_diff": q_revision_diff,
     "stateful_budget": q_stateful_budget,
     "stream_session": q_stream_session,
     "media_features": q_media_features,
@@ -4111,6 +4182,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_bigrams": q_pmi_bigrams,
     # --- positions 51+: oracle-backed but outside the driver's 50-entry
     # window this round (rotation policy above)
+    "stream_dedup_users": q_stream_dedup_users,
     "frame_sample": q_frame_sample,
     "ann_bruteforce": q_ann_bruteforce,
     "train_test_split": q_train_test_split,
@@ -4264,5 +4336,6 @@ ORACLE: dict[str, str] = {
     "link_stats": ORACLE_LINK_STATS,
     "select_top_percent": ORACLE_SELECT_TOP_PERCENT,
     "bitext_candidates": ORACLE_BITEXT,
+    "revision_diff": ORACLE_REVISION_DIFF,
     "crawl_depth": ORACLE_CRAWL_DEPTH,
 }

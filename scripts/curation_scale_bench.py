@@ -329,6 +329,24 @@ def main() -> None:
                  page.cast("string")).alias("url"),
     )
     run("bitext_candidates", bitext_candidates(bt_frontier), checksum=True)
+
+    # revision diff: one window shuffle keyed by page, token-set jaccard
+    # between consecutive snapshots (3 planted snapshots per page)
+    from nlnieuwscrawler_spark.operators.recrawl import revision_diff
+
+    snaps = docs.select(
+        F.col("doc_id").alias("page"),
+        F.explode(F.array(
+            F.struct(F.lit(1).alias("ts"),
+                     F.substring("text", 1, 80).alias("snap")),
+            F.struct(F.lit(2).alias("ts"),
+                     F.substring("text", 41, 80).alias("snap")),
+            F.struct(F.lit(3).alias("ts"),
+                     F.substring("text", 41, 80).alias("snap")),
+        )).alias("s"),
+    ).select("page", F.col("s.ts").cast("long").alias("ts"),
+             F.col("s.snap").alias("text"))
+    run("revision_diff", revision_diff(snaps), checksum=True)
     from nlnieuwscrawler_spark.operators.graph import crawl_depth
 
     bfs_stats: dict = {}

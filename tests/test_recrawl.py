@@ -43,3 +43,29 @@ def test_recrawl_schedule_ts_tie_broken_by_ord(spark):
     df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
     out = recrawl_schedule(df).collect()[0]
     assert out["n_changes"] == 2
+
+
+def test_revision_diff_jaccard_and_edges(spark):
+    """Identical consecutive snapshots score 1.0/unchanged, a one-word
+    swap on 4 tokens scores 3/5, empty→empty is identical, the first
+    snapshot of a page is NULL, repeated tokens dedup before Jaccard."""
+    from nlnieuwscrawler_spark.operators.recrawl import revision_diff
+
+    rows = [
+        (1, 1, "the quick brown fox"),
+        (1, 2, "the the quick brown fox fox"),  # same SET -> 1.0
+        (1, 3, "the slow brown fox"),           # |∩|=3, |∪|=5
+        (2, 1, ""),
+        (2, 2, ""),
+        (2, 3, "new content"),
+        (3, 1, "only one snapshot"),
+    ]
+    df = spark.createDataFrame(rows, "page long, ts long, text string")
+    out = {(r["page"], r["ts"]): r for r in revision_diff(df).collect()}
+    assert out[(1, 1)]["word_jaccard"] is None
+    assert out[(1, 2)]["word_jaccard"] == 1.0 and not out[(1, 2)]["changed"]
+    assert out[(1, 3)]["word_jaccard"] == 0.6 and out[(1, 3)]["changed"]
+    assert out[(2, 2)]["word_jaccard"] == 1.0      # empty -> empty
+    assert out[(2, 3)]["word_jaccard"] == 0.0 and out[(2, 3)]["changed"]
+    assert out[(3, 1)]["changed"] is None
+    assert out[(1, 2)]["n_tokens"] == 4            # deduped token count
