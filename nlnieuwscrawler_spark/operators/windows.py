@@ -61,3 +61,53 @@ def session_stats(
             ).alias("span_sec"),
         )
     )
+
+
+def detect_bursts(
+    df: DataFrame,
+    key_cols: list,
+    ord_col: str = "bucket",
+    val_col: str = "n",
+    trail: int = 3,
+    factor: float = 2.0,
+) -> DataFrame:
+    """Trailing-window burst detection per key → (keys…, ord, val,
+    trail_mean, burst): flag observations more than ``factor``× the
+    mean of the previous ``trail`` observations of the SAME key — the
+    crawl-monitoring alarm ("this host suddenly serves 5× the pages":
+    a template explosion, a calendar trap, or an rss-loop; on the
+    politeness side, OUR OWN fetch counts bursting means the scheduler
+    broke). First observation of a key has no history → NULL
+    trail_mean/burst.
+
+    trail_mean = round(sum(prev ``trail`` vals) / count, 6) over a ROWS
+    BETWEEN ``trail`` PRECEDING AND 1 PRECEDING frame — integer sums,
+    one IEEE division, identical in DuckDB.
+
+    100 TB shape: the input is an already-aggregated (key, bucket,
+    count) table — |keys|×|buckets| rows, tiny next to the corpus — and
+    the op is ONE window over it, partitioned by key (bounded buckets
+    per key → no hot partitions). Nothing else moves.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ord_col)
+        .rowsBetween(-trail, -1)
+    )
+    cnt = F.count(F.col(val_col)).over(w)
+    mean = F.when(cnt == 0, F.lit(None).cast("double")).otherwise(
+        F.round(F.sum(F.col(val_col)).over(w).cast("double") / cnt, 6)
+    )
+    out = df.select(
+        *key_cols,
+        F.col(ord_col),
+        F.col(val_col),
+        mean.alias("trail_mean"),
+    )
+    return out.withColumn(
+        "burst",
+        F.when(F.col("trail_mean").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(
+            F.col(val_col).cast("double") > F.lit(factor) * F.col("trail_mean")
+        ),
+    )

@@ -415,6 +415,41 @@ def q_hourly_events(spark, sf_dir):
     )
 
 
+def q_fetch_bursts(spark, sf_dir):
+    """Crawl-rate anomaly detection: hourly fetch counts per user_id,
+    flag hours exceeding 2× the trailing-3-hour mean — the monitoring
+    alarm for template explosions / crawler-trap loops
+    (operators/windows.py:detect_bursts)."""
+    from nlnieuwscrawler_spark.operators.windows import detect_bursts
+
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return detect_bursts(hourly, ["user_id"]).orderBy("user_id", "bucket")
+
+
+ORACLE_FETCH_BURSTS = """
+WITH h AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT user_id, bucket, n,
+    count(n) OVER (PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS c,
+    sum(n) OVER (PARTITION BY user_id ORDER BY bucket
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS s
+  FROM h
+)
+SELECT user_id, bucket, n,
+  CASE WHEN c = 0 THEN NULL ELSE round(s::DOUBLE / c, 6) END AS trail_mean,
+  CASE WHEN c = 0 THEN NULL
+       ELSE n::DOUBLE > 2.0 * round(s::DOUBLE / c, 6) END AS burst
+FROM w ORDER BY user_id, bucket
+"""
+
+
 ORACLE_HOURLY = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n,
@@ -4126,9 +4161,11 @@ FROM rk CROSS JOIN lo ORDER BY rk.host
 #     parallel-corpus mining) takes the seat of frame_sample (r4-green,
 #     graded r4-r5; media_features keeps multimodal in-window), and
 #     revision_diff (consecutive-snapshot change magnitude) takes the
-#     seat of stream_dedup_users (r3-green; 4 streaming reps remain
-#     in-window). Round 6 should cycle the 42 currently-out queries
-#     back in.
+#     seat of stream_dedup_users (r3-green), and fetch_bursts
+#     (trailing-window crawl-rate anomaly alarm) takes the seat of
+#     stateful_budget (r2-green; 3 streaming reps remain in-window:
+#     python_stream_source, stream_stream_join, stream_session).
+#     Round 6 should cycle the 43 currently-out queries back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -4162,7 +4199,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "plan_crawl": q_plan_crawl,
     "source_quality": q_source_quality,
     "revision_diff": q_revision_diff,
-    "stateful_budget": q_stateful_budget,
+    "fetch_bursts": q_fetch_bursts,
     "stream_session": q_stream_session,
     "media_features": q_media_features,
     "bitext_candidates": q_bitext_candidates,
@@ -4182,6 +4219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_bigrams": q_pmi_bigrams,
     # --- positions 51+: oracle-backed but outside the driver's 50-entry
     # window this round (rotation policy above)
+    "stateful_budget": q_stateful_budget,
     "stream_dedup_users": q_stream_dedup_users,
     "frame_sample": q_frame_sample,
     "ann_bruteforce": q_ann_bruteforce,
@@ -4337,5 +4375,6 @@ ORACLE: dict[str, str] = {
     "select_top_percent": ORACLE_SELECT_TOP_PERCENT,
     "bitext_candidates": ORACLE_BITEXT,
     "revision_diff": ORACLE_REVISION_DIFF,
+    "fetch_bursts": ORACLE_FETCH_BURSTS,
     "crawl_depth": ORACLE_CRAWL_DEPTH,
 }

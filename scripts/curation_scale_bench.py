@@ -347,6 +347,19 @@ def main() -> None:
     ).select("page", F.col("s.ts").cast("long").alias("ts"),
              F.col("s.snap").alias("text"))
     run("revision_diff", revision_diff(snaps), checksum=True)
+
+    # burst detection: one window over an already-aggregated
+    # (host, bucket, n) rate table — 50 buckets per host
+    from nlnieuwscrawler_spark.operators.windows import detect_bursts
+
+    rates = spark.range(n_docs).select(
+        (F.col("id") / 50).cast("long").alias("host"),
+        (F.col("id") % 50).cast("long").alias("bucket"),
+        (F.pmod(F.xxhash64("id"), F.lit(20)) + 1
+         + F.when(F.col("id") % 17 == 0, F.lit(100)).otherwise(F.lit(0))
+         ).cast("long").alias("n"),
+    )
+    run("fetch_bursts", detect_bursts(rates, ["host"]), checksum=True)
     from nlnieuwscrawler_spark.operators.graph import crawl_depth
 
     bfs_stats: dict = {}

@@ -339,3 +339,21 @@ def test_select_top_percent_quota_and_ties(spark):
     assert out[10]["keep"] and out[11]["keep"] and not out[12]["keep"]
     # C singleton: ceil(1*0.4)=1 -> keeps
     assert out[20]["keep"] and out[20]["n_source"] == 1
+
+
+def test_detect_bursts_trailing_frame(spark):
+    """Burst iff val > factor x mean of the previous `trail` values of
+    the SAME key; first observation NULL; frame excludes current row."""
+    from nlnieuwscrawler_spark.operators.windows import detect_bursts
+
+    rows = [("h1", 1, 10), ("h1", 2, 12), ("h1", 3, 11), ("h1", 4, 50),
+            ("h1", 5, 12), ("h2", 1, 5), ("h2", 2, 11)]
+    df = spark.createDataFrame(rows, "host string, bucket long, n long")
+    out = {(r["host"], r["bucket"]): r
+           for r in detect_bursts(df, ["host"]).collect()}
+    assert out[("h1", 1)]["burst"] is None
+    assert out[("h1", 4)]["burst"] and out[("h1", 4)]["trail_mean"] == 11.0
+    # the 50 enters the trailing mean and suppresses the next flag
+    assert out[("h1", 5)]["trail_mean"] == 24.333333
+    assert not out[("h1", 5)]["burst"]
+    assert out[("h2", 2)]["burst"]          # 11 > 2*5, cross-key isolated
