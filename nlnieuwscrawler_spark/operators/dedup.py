@@ -837,3 +837,52 @@ def dedup_spans(
         F.coalesce("n_spans_kept", F.lit(0)).cast("long").alias("n_spans_kept"),
         F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
     )
+
+
+def mirror_hosts(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    min_shared: int = 2,
+    max_hosts_per_hash: int = 50,
+) -> DataFrame:
+    """Mirror-site detection → (host_a, host_b, shared_docs): host
+    pairs whose pages carry identical content fingerprints — the
+    site-level aggregate of exact dedup that lets a crawler collapse
+    mirrors (ftp.x.org vs www.x.org, country CDNs, scraped re-hosts)
+    into ONE crawl budget instead of re-fetching every copy.
+
+    A (host, md5(text)) pair table is deduped, hashes carried by more
+    than ``max_hosts_per_hash`` hosts are DROPPED before pairing —
+    content on 1000 hosts is boilerplate, not mirroring, and would
+    otherwise explode into C(1000,2) pairs — then one hash-keyed
+    self-join counts distinct shared fingerprints per host pair;
+    pairs below ``min_shared`` are noise (one shared page is a quote
+    or a wire copy, not a mirror).
+
+    100 TB shape: everything after the md5 projection is narrow
+    (host, 16-byte hash) rows; the df-per-hash guard bounds the
+    self-join fan-out to ``max_hosts_per_hash``² per hash; the pair
+    count is a map-side-combinable agg on (host_a, host_b).
+    """
+    ph = docs.select(
+        F.col(host_col).alias("host"), F.md5(F.col(text_col)).alias("__h")
+    ).distinct()
+    eligible = (
+        ph.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__nh"))
+        .filter(
+            (F.col("__nh") >= 2) & (F.col("__nh") <= max_hosts_per_hash)
+        )
+        .select("__h")
+    )
+    p = ph.join(eligible, "__h")
+    a = p.select(F.col("__h"), F.col("host").alias("host_a"))
+    b = p.select(F.col("__h").alias("__hb"), F.col("host").alias("host_b"))
+    return (
+        a.join(b, (F.col("__h") == F.col("__hb"))
+               & (F.col("host_a") < F.col("host_b")))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_docs"))
+        .filter(F.col("shared_docs") >= F.lit(min_shared))
+    )

@@ -2489,6 +2489,41 @@ FROM r ORDER BY doc_id
 """
 
 
+def q_mirror_hosts(spark, sf_dir):
+    """Mirror-site detection over a corpus where every 7th doc is
+    re-hosted under 'mirror-' || source (7 coprime with the 20-source
+    assignment, so EVERY source gets mirrored pages) — each
+    (source, mirror-source) pair shares its planted copies at every
+    SF, single-page overlaps stay below min_shared
+    (operators/dedup.py:mirror_hosts)."""
+    from nlnieuwscrawler_spark.operators.dedup import mirror_hosts
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.select(F.col("source").alias("host"), "text").unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            F.concat(F.lit("mirror-"), F.col("source")).alias("host"),
+            "text",
+        )
+    )
+    return mirror_hosts(corpus, min_shared=2).orderBy("host_a", "host_b")
+
+
+ORACLE_MIRROR_HOSTS = """
+WITH corpus AS (
+  SELECT source AS host, text FROM documents
+  UNION ALL
+  SELECT 'mirror-' || source, text FROM documents WHERE doc_id % 7 = 0
+),
+ph AS (SELECT DISTINCT host, md5(text) AS h FROM corpus),
+el AS (SELECT h FROM ph GROUP BY h HAVING count(*) BETWEEN 2 AND 50)
+SELECT a.host AS host_a, b.host AS host_b, count(*)::BIGINT AS shared_docs
+FROM ph a JOIN ph b ON a.h = b.h AND a.host < b.host
+JOIN el ON a.h = el.h
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY host_a, host_b
+"""
+
+
 def q_chunk_documents(spark, sf_dir):
     """Overlapping token-window chunking (window=32, stride=24) — the
     sequence-prep flatMap; zero shuffles, pure higher-order exprs
@@ -4164,8 +4199,12 @@ FROM rk CROSS JOIN lo ORDER BY rk.host
 #     seat of stream_dedup_users (r3-green), and fetch_bursts
 #     (trailing-window crawl-rate anomaly alarm) takes the seat of
 #     stateful_budget (r2-green; 3 streaming reps remain in-window:
-#     python_stream_source, stream_stream_join, stream_session).
-#     Round 6 should cycle the 43 currently-out queries back in.
+#     python_stream_source, stream_stream_join, stream_session), and
+#     mirror_hosts (site-level exact-dup rollup for crawl-budget
+#     collapse) takes the seat of dedup_components (r3-green; the
+#     component machinery stays driver-graded inside dedup_retention
+#     and dedup_retention_best, which call it).
+#     Round 6 should cycle the 44 currently-out queries back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -4203,7 +4242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_session": q_stream_session,
     "media_features": q_media_features,
     "bitext_candidates": q_bitext_candidates,
-    "dedup_components": q_dedup_components,
+    "mirror_hosts": q_mirror_hosts,
     "link_stats": q_link_stats,
     "bm25_search": q_bm25_search,
     "decontaminate": q_decontaminate,
@@ -4219,6 +4258,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_bigrams": q_pmi_bigrams,
     # --- positions 51+: oracle-backed but outside the driver's 50-entry
     # window this round (rotation policy above)
+    "dedup_components": q_dedup_components,
     "stateful_budget": q_stateful_budget,
     "stream_dedup_users": q_stream_dedup_users,
     "frame_sample": q_frame_sample,
@@ -4376,5 +4416,6 @@ ORACLE: dict[str, str] = {
     "bitext_candidates": ORACLE_BITEXT,
     "revision_diff": ORACLE_REVISION_DIFF,
     "fetch_bursts": ORACLE_FETCH_BURSTS,
+    "mirror_hosts": ORACLE_MIRROR_HOSTS,
     "crawl_depth": ORACLE_CRAWL_DEPTH,
 }

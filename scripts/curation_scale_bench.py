@@ -360,6 +360,17 @@ def main() -> None:
          ).cast("long").alias("n"),
     )
     run("fetch_bursts", detect_bursts(rates, ["host"]), checksum=True)
+
+    # mirror detection: narrow (host, md5) pairs, df-per-hash guard,
+    # one hash-keyed self-join; every 7th doc re-hosted under a mirror
+    from nlnieuwscrawler_spark.operators.dedup import mirror_hosts
+
+    mh_corpus = docs.select(F.col("source").alias("host"), "text").unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.concat(F.lit("mirror-"), F.col("source")).alias("host"), "text"
+        )
+    )
+    run("mirror_hosts", mirror_hosts(mh_corpus, min_shared=2), checksum=True)
     from nlnieuwscrawler_spark.operators.graph import crawl_depth
 
     bfs_stats: dict = {}

@@ -583,3 +583,30 @@ def test_dedup_retention_quality_aware(spark):
         r["doc_id"]: r for r in dedup_retention(docs, pairs).collect()
     }
     assert base[1]["keep"] and not base[2]["keep"] and not base[3]["keep"]
+
+
+def test_mirror_hosts_noise_and_boilerplate_guards(spark):
+    """min_shared filters single-page coincidences; the df-per-hash cap
+    drops boilerplate carried by too many hosts; duplicate (host, text)
+    rows collapse before counting."""
+    from nlnieuwscrawler_spark.operators.dedup import mirror_hosts
+
+    rows = [
+        ("a.nl", "page one"), ("a.nl", "page two"), ("a.nl", "page three"),
+        ("mirror.a.nl", "page one"), ("mirror.a.nl", "page two"),
+        ("b.nl", "page one"),          # one shared page: noise
+        ("c.nl", "unique c"),
+        ("a.nl", "page one"),          # dup row
+    ]
+    df = spark.createDataFrame(rows, "host string, text string")
+    got = [(r["host_a"], r["host_b"], r["shared_docs"])
+           for r in mirror_hosts(df).collect()]
+    assert got == [("a.nl", "mirror.a.nl", 2)]
+    # boilerplate guard: a footer on 5 hosts with max_hosts_per_hash=3
+    # pairs NOBODY, even though every pair shares it
+    boiler = [(f"h{i}.nl", "shared footer") for i in range(5)] + [
+        (f"h{i}.nl", "real page") for i in (0, 1)
+    ]
+    df2 = spark.createDataFrame(boiler, "host string, text string")
+    out2 = mirror_hosts(df2, min_shared=1, max_hosts_per_hash=3).collect()
+    assert [(r["host_a"], r["host_b"]) for r in out2] == [("h0.nl", "h1.nl")]
