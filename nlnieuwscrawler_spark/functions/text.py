@@ -1096,3 +1096,54 @@ def boilerplate_scrub(
         .cast("long").alias("n_boiler"),
         F.coalesce(F.col("__text_clean"), F.lit("")).alias("text_clean"),
     )
+
+
+def c4_line_rules(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+):
+    """C4's line-level cleaning rules (Raffel et al. 2020 §2.2, public)
+    → (id, n_lines, n_kept, text_clean, drop_page): keep only lines
+    that END IN TERMINAL PUNCTUATION (. ! ? "), have at least
+    ``min_words`` whitespace-separated words, and do not mention
+    "javascript" (the cookie/JS-warning line); additionally flag the
+    whole page for dropping when it contains "lorem ipsum" or a curly
+    brace (templating/code leakage) — C4 applies those at page level.
+    The rule-based complement to ``boilerplate_scrub`` (frequency-
+    based) and ``dedup_lines`` (repetition-based): all three stack.
+
+    100 TB shape: a pure ZERO-shuffle projection — the line split is
+    bound once as a lambda variable (the ``dedup_lines`` CSE note) and
+    every rule is a codegen higher-order/regexp expression; the corpus
+    is scanned once and never moved.
+    """
+
+    def build(ls: Column) -> Column:
+        kept = F.filter(
+            ls,
+            lambda x: x.rlike('[.!?"]$')
+            & (
+                F.size(F.filter(F.split(x, " "), lambda w: w != ""))
+                >= F.lit(min_words)
+            )
+            & ~F.lower(x).contains("javascript"),
+        )
+        return F.struct(
+            F.size(ls).cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.array_join(kept, "\n").alias("text_clean"),
+        )
+
+    s = F.element_at(
+        F.transform(F.array(F.split(F.col(text_col), "\n")), build), 1
+    )
+    low = F.lower(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        s["n_lines"].alias("n_lines"),
+        s["n_kept"].alias("n_kept"),
+        s["text_clean"].alias("text_clean"),
+        (low.contains("lorem ipsum") | low.contains("{")).alias("drop_page"),
+    )

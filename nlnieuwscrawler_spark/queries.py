@@ -2489,6 +2489,60 @@ FROM r ORDER BY doc_id
 """
 
 
+def q_c4_line_rules(spark, sf_dir):
+    """C4 line-level cleaning over a deterministic 5-line layout: a
+    punctuated window, 'short.', an unpunctuated window, a javascript
+    banner, and a punctuated window (plus ' lorem ipsum' appended on
+    every 23rd doc) — every rule fires at every SF
+    (functions/text.py:c4_line_rules)."""
+    from nlnieuwscrawler_spark.functions.text import c4_line_rules
+
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    tail = F.when(
+        F.col("doc_id") % 23 == 0, F.lit(" lorem ipsum")
+    ).otherwise(F.lit(""))
+    lined = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.substring(t, 1, 60), F.lit(".")),
+            F.lit("short."),
+            F.substring(t, 61, 50),
+            F.lit("Please enable JavaScript to continue."),
+            F.concat(F.substring(t, 111, 60), F.lit("!"), tail),
+        ).alias("text"),
+    )
+    return c4_line_rules(lined).orderBy("doc_id")
+
+
+ORACLE_C4_LINE_RULES = """
+WITH d AS (
+  SELECT doc_id,
+    concat_ws(chr(10),
+      substr(text, 1, 60) || '.',
+      'short.',
+      substr(text, 61, 50),
+      'Please enable JavaScript to continue.',
+      substr(text, 111, 60) || '!' ||
+        CASE WHEN doc_id % 23 = 0 THEN ' lorem ipsum' ELSE '' END) AS t
+  FROM documents
+),
+l AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM d),
+k AS (
+  SELECT doc_id, t, ls,
+    list_filter(ls, x -> regexp_matches(x, '[.!?"]$')
+      AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 5
+      AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM l
+)
+SELECT doc_id, len(ls)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept,
+  array_to_string(kept, chr(10)) AS text_clean,
+  (contains(lower(t), 'lorem ipsum') OR contains(t, '{')) AS drop_page
+FROM k ORDER BY doc_id
+"""
+
+
 def q_mirror_hosts(spark, sf_dir):
     """Mirror-site detection over a corpus where every 7th doc is
     re-hosted under 'mirror-' || source (7 coprime with the 20-source
@@ -4203,8 +4257,10 @@ FROM rk CROSS JOIN lo ORDER BY rk.host
 #     mirror_hosts (site-level exact-dup rollup for crawl-budget
 #     collapse) takes the seat of dedup_components (r3-green; the
 #     component machinery stays driver-graded inside dedup_retention
-#     and dedup_retention_best, which call it).
-#     Round 6 should cycle the 44 currently-out queries back in.
+#     and dedup_retention_best, which call it), and c4_line_rules
+#     (C4's rule-based line cleaning + page flags) takes the seat of
+#     bm25_search (r3-green, graded r4).
+#     Round 6 should cycle the 45 currently-out queries back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -4244,7 +4300,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bitext_candidates": q_bitext_candidates,
     "mirror_hosts": q_mirror_hosts,
     "link_stats": q_link_stats,
-    "bm25_search": q_bm25_search,
+    "c4_line_rules": q_c4_line_rules,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "curate_pipeline": q_curate_pipeline,
@@ -4258,6 +4314,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_bigrams": q_pmi_bigrams,
     # --- positions 51+: oracle-backed but outside the driver's 50-entry
     # window this round (rotation policy above)
+    "bm25_search": q_bm25_search,
     "dedup_components": q_dedup_components,
     "stateful_budget": q_stateful_budget,
     "stream_dedup_users": q_stream_dedup_users,
@@ -4417,5 +4474,6 @@ ORACLE: dict[str, str] = {
     "revision_diff": ORACLE_REVISION_DIFF,
     "fetch_bursts": ORACLE_FETCH_BURSTS,
     "mirror_hosts": ORACLE_MIRROR_HOSTS,
+    "c4_line_rules": ORACLE_C4_LINE_RULES,
     "crawl_depth": ORACLE_CRAWL_DEPTH,
 }

@@ -371,6 +371,22 @@ def main() -> None:
         )
     )
     run("mirror_hosts", mirror_hosts(mh_corpus, min_shared=2), checksum=True)
+
+    # C4 line rules: zero-shuffle HOF projection (dedup_lines class)
+    from nlnieuwscrawler_spark.functions.text import c4_line_rules
+
+    c4_lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.substring("text", 1, 60), F.lit(".")),
+            F.lit("short."),
+            F.substring("text", 61, 50),
+            F.lit("Please enable JavaScript to continue."),
+            F.concat(F.substring("text", 111, 60), F.lit("!")),
+        ).alias("text"),
+    )
+    run("c4_line_rules", c4_line_rules(c4_lined), checksum=True)
     from nlnieuwscrawler_spark.operators.graph import crawl_depth
 
     bfs_stats: dict = {}

@@ -610,3 +610,30 @@ def test_mirror_hosts_noise_and_boilerplate_guards(spark):
     df2 = spark.createDataFrame(boiler, "host string, text string")
     out2 = mirror_hosts(df2, min_shared=1, max_hosts_per_hash=3).collect()
     assert [(r["host_a"], r["host_b"]) for r in out2] == [("h0.nl", "h1.nl")]
+
+
+def test_c4_line_rules_pinned(spark):
+    """Terminal punctuation, min-word, and javascript rules each drop
+    independently; lorem-ipsum and curly-brace flag the page; empty doc
+    keeps nothing and is not flagged."""
+    from nlnieuwscrawler_spark.functions.text import c4_line_rules
+
+    rows = [
+        (1, "A good long sentence with enough words here.\nshort.\n"
+            "no terminal punctuation at all here\n"
+            "Please enable javascript to view this site.\n"
+            "Another fine sentence that ends properly!"),
+        (2, "Lorem Ipsum dolor sit amet something here.\nx"),
+        (3, "code { color: red } is a fine sentence though."),
+        (4, ""),
+        (5, 'He said "hello there my good friend" politely."'),  # quote end
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_line_rules(df).collect()}
+    assert out[1]["n_kept"] == 2 and not out[1]["drop_page"]
+    assert "javascript" not in out[1]["text_clean"]
+    assert out[2]["drop_page"]       # case-folded lorem ipsum
+    assert out[3]["drop_page"]       # curly brace
+    assert out[3]["n_kept"] == 1     # line itself passes the line rules
+    assert out[4]["n_kept"] == 0 and not out[4]["drop_page"]
+    assert out[5]["n_kept"] == 1     # closing-quote terminal char counts
