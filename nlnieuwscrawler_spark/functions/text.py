@@ -1147,3 +1147,45 @@ def c4_line_rules(
         s["text_clean"].alias("text_clean"),
         (low.contains("lorem ipsum") | low.contains("{")).alias("drop_page"),
     )
+
+
+def host_lang_entropy(df, group_col: str = "source", lang_col: str = "lang"):
+    """Per-host language-mix profile → (group, n_docs, n_langs,
+    majority_lang, lang_entropy): Shannon entropy (nats) of the
+    language distribution plus the dominant language (ties → first
+    lexicographically). A news site publishes in one or two languages
+    — a host with near-uniform language entropy is an aggregator,
+    scraper mashup, or machine-translation farm, the host-level
+    companion signal to the per-doc ``lang_id`` gate.
+
+    Cross-engine exactness follows the ``source_token_drift`` recipe:
+    each −p·ln(p) term is an IEEE double rounded to 9 dp, cast to
+    DECIMAL(11,9), and summed EXACTLY (associative, partition-order
+    free); a single-language host is exactly 0.0.
+
+    100 TB shape: one map-side-combinable (group, lang) cell count
+    (|groups|×|langs| rows — tiny), one |groups|-row rollup joining the
+    cells back. The corpus is scanned once for the narrow two-column
+    projection; nothing else moves.
+    """
+    cells = df.groupBy(group_col, lang_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    tot = cells.groupBy(group_col).agg(
+        F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__nl")
+    )
+    p = F.col("__c").cast("double") / F.col("__n")
+    term = F.round(-p * F.log(p), 9).cast("decimal(11,9)")
+    return (
+        cells.join(tot, group_col)
+        .groupBy(group_col)
+        .agg(
+            F.min("__n").cast("long").alias("n_docs"),
+            F.min("__nl").cast("long").alias("n_langs"),
+            F.min_by(
+                lang_col,
+                F.struct((-F.col("__c")).alias("a"), F.col(lang_col).alias("b")),
+            ).alias("majority_lang"),
+            F.sum(term).cast("double").alias("lang_entropy"),
+        )
+    )

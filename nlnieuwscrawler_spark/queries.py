@@ -2489,6 +2489,39 @@ FROM r ORDER BY doc_id
 """
 
 
+def q_lang_entropy(spark, sf_dir):
+    """Per-source language-mix entropy over the documents table — the
+    aggregator/MT-farm host signal; decimal-exact term sums per the
+    source_token_drift recipe (functions/text.py:host_lang_entropy)."""
+    from nlnieuwscrawler_spark.functions.text import host_lang_entropy
+
+    d = load(spark, sf_dir, "documents")
+    return host_lang_entropy(d).orderBy("source")
+
+
+ORACLE_LANG_ENTROPY = """
+WITH cells AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT source, sum(c) AS n, count(*) AS nl FROM cells GROUP BY 1),
+maj AS (
+  SELECT source, lang AS majority_lang FROM (
+    SELECT source, lang,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY c DESC, lang) AS rn
+    FROM cells) WHERE rn = 1
+)
+SELECT c.source, t.n::BIGINT AS n_docs, t.nl::BIGINT AS n_langs,
+  m.majority_lang,
+  sum(round(-(c.c::DOUBLE / t.n) * ln(c.c::DOUBLE / t.n), 9)
+      ::DECIMAL(11,9))::DOUBLE AS lang_entropy
+FROM cells c JOIN tot t ON c.source = t.source
+JOIN maj m ON c.source = m.source
+GROUP BY c.source, t.n, t.nl, m.majority_lang
+ORDER BY c.source
+"""
+
+
 def q_c4_line_rules(spark, sf_dir):
     """C4 line-level cleaning over a deterministic 5-line layout: a
     punctuated window, 'short.', an unpunctuated window, a javascript
@@ -4259,8 +4292,11 @@ FROM rk CROSS JOIN lo ORDER BY rk.host
 #     component machinery stays driver-graded inside dedup_retention
 #     and dedup_retention_best, which call it), and c4_line_rules
 #     (C4's rule-based line cleaning + page flags) takes the seat of
-#     bm25_search (r3-green, graded r4).
-#     Round 6 should cycle the 45 currently-out queries back in.
+#     bm25_search (r3-green, graded r4), and lang_entropy (per-host
+#     language-mix entropy) takes the seat of decontaminate (r4-green,
+#     graded r4; the decontaminate stage stays driver-graded inside the
+#     curate_pipeline composite's composed oracle).
+#     Round 6 should cycle the 46 currently-out queries back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -4301,7 +4337,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mirror_hosts": q_mirror_hosts,
     "link_stats": q_link_stats,
     "c4_line_rules": q_c4_line_rules,
-    "decontaminate": q_decontaminate,
+    "lang_entropy": q_lang_entropy,
     "stratified_sample": q_stratified_sample,
     "curate_pipeline": q_curate_pipeline,
     "repetition_stats": q_repetition_stats,
@@ -4314,6 +4350,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_bigrams": q_pmi_bigrams,
     # --- positions 51+: oracle-backed but outside the driver's 50-entry
     # window this round (rotation policy above)
+    "decontaminate": q_decontaminate,
     "bm25_search": q_bm25_search,
     "dedup_components": q_dedup_components,
     "stateful_budget": q_stateful_budget,
@@ -4475,5 +4512,6 @@ ORACLE: dict[str, str] = {
     "fetch_bursts": ORACLE_FETCH_BURSTS,
     "mirror_hosts": ORACLE_MIRROR_HOSTS,
     "c4_line_rules": ORACLE_C4_LINE_RULES,
+    "lang_entropy": ORACLE_LANG_ENTROPY,
     "crawl_depth": ORACLE_CRAWL_DEPTH,
 }

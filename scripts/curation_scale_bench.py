@@ -387,6 +387,20 @@ def main() -> None:
         ).alias("text"),
     )
     run("c4_line_rules", c4_line_rules(c4_lined), checksum=True)
+
+    # host language entropy: one (source, lang) cell count + rollup —
+    # synthesize 5 langs deterministically (gen_docs corpus is all 'nl')
+    from nlnieuwscrawler_spark.functions.text import host_lang_entropy
+
+    le_docs = docs.select(
+        "source",
+        F.element_at(
+            F.array(F.lit("nl"), F.lit("en"), F.lit("de"), F.lit("fr"),
+                    F.lit("es")),
+            (F.pmod(F.xxhash64("doc_id"), F.lit(5)) + 1).cast("int"),
+        ).alias("lang"),
+    )
+    run("lang_entropy", host_lang_entropy(le_docs), checksum=True)
     from nlnieuwscrawler_spark.operators.graph import crawl_depth
 
     bfs_stats: dict = {}

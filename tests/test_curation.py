@@ -637,3 +637,26 @@ def test_c4_line_rules_pinned(spark):
     assert out[3]["n_kept"] == 1     # line itself passes the line rules
     assert out[4]["n_kept"] == 0 and not out[4]["drop_page"]
     assert out[5]["n_kept"] == 1     # closing-quote terminal char counts
+
+
+def test_host_lang_entropy_manual(spark):
+    """Single-language host is exactly 0.0; a 50/50 host is ln 2 to
+    9 dp per term; majority ties break lexicographically."""
+    import math
+
+    from nlnieuwscrawler_spark.functions.text import host_lang_entropy
+
+    rows = ([("pure", "nl")] * 4
+            + [("even", "nl")] * 2 + [("even", "en")] * 2
+            + [("mix", "nl")] * 3 + [("mix", "en")] * 1)
+    df = spark.createDataFrame(rows, "source string, lang string")
+    out = {r["source"]: r for r in host_lang_entropy(df).collect()}
+    assert out["pure"]["lang_entropy"] == 0.0
+    assert out["pure"]["n_langs"] == 1 and out["pure"]["majority_lang"] == "nl"
+    want_even = 2 * round(-0.5 * math.log(0.5), 9)
+    assert abs(out["even"]["lang_entropy"] - want_even) < 1e-12
+    assert out["even"]["majority_lang"] == "en"   # tie -> lexicographic
+    want_mix = round(-0.75 * math.log(0.75), 9) + round(
+        -0.25 * math.log(0.25), 9)
+    assert abs(out["mix"]["lang_entropy"] - want_mix) < 1e-12
+    assert out["mix"]["majority_lang"] == "nl" and out["mix"]["n_docs"] == 4
