@@ -1189,3 +1189,40 @@ def host_lang_entropy(df, group_col: str = "source", lang_col: str = "lang"):
             F.sum(term).cast("double").alias("lang_entropy"),
         )
     )
+
+
+def vocab_stats(df, text_col: str = "text", id_col: str = "doc_id",
+                group_col: str = "source"):
+    """Per-source vocabulary health → (group, n_tokens, n_distinct,
+    hapax_ratio, ttr): the share of the source's distinct tokens that
+    occur exactly ONCE (hapax legomena) and the type-token ratio. Both
+    are corpus-QA workhorses: OCR garbage, encoding mojibake, and
+    random-id boilerplate inflate hapax_ratio toward 1 (every error is
+    unique), while template spam deflates TTR toward 0 (the same
+    chrome repeated). The per-source complement to the per-doc
+    ``repetition_stats`` gates.
+
+    100 TB shape: one (group, token) hash agg over the exploded narrow
+    projection — map-side combinable, the classic wordcount shuffle —
+    then a |groups|-row conditional rollup. Ratios are single IEEE
+    divisions rounded to 6 dp, exact in DuckDB.
+    """
+    toks = tokens_col_text(F.col(text_col))
+    tok = df.select(
+        F.col(group_col), F.explode(toks).alias("__tok")
+    )
+    cells = tok.groupBy(group_col, "__tok").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return cells.groupBy(group_col).agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(
+            F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_ratio"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("__c"), 6
+        ).alias("ttr"),
+    )

@@ -2489,6 +2489,32 @@ FROM r ORDER BY doc_id
 """
 
 
+def q_vocab_stats(spark, sf_dir):
+    """Per-source vocabulary health: hapax ratio + type-token ratio —
+    the OCR-garbage / template-spam corpus-QA signals
+    (functions/text.py:vocab_stats)."""
+    from nlnieuwscrawler_spark.functions.text import vocab_stats
+
+    d = load(spark, sf_dir, "documents")
+    return vocab_stats(d).orderBy("source")
+
+
+ORACLE_VOCAB_STATS = """
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+  FROM documents WHERE len(trim(text)) > 0
+),
+cells AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2)
+SELECT source,
+  sum(c)::BIGINT AS n_tokens,
+  count(*)::BIGINT AS n_distinct,
+  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+    AS hapax_ratio,
+  round(count(*)::DOUBLE / sum(c), 6) AS ttr
+FROM cells GROUP BY source ORDER BY source
+"""
+
+
 def q_lang_entropy(spark, sf_dir):
     """Per-source language-mix entropy over the documents table — the
     aggregator/MT-farm host signal; decimal-exact term sums per the
@@ -4295,8 +4321,13 @@ FROM rk CROSS JOIN lo ORDER BY rk.host
 #     bm25_search (r3-green, graded r4), and lang_entropy (per-host
 #     language-mix entropy) takes the seat of decontaminate (r4-green,
 #     graded r4; the decontaminate stage stays driver-graded inside the
-#     curate_pipeline composite's composed oracle).
-#     Round 6 should cycle the 46 currently-out queries back in.
+#     curate_pipeline composite's composed oracle), and vocab_stats
+#     (per-source hapax/TTR corpus-QA rollup) takes the seat of
+#     stratified_sample (r4-green, graded r4; the sampling stage stays
+#     driver-graded inside curate_pipeline's composed oracle, and
+#     select_top_percent + importance_sample keep the sampling
+#     category in-window).
+#     Round 6 should cycle the 47 currently-out queries back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -4338,7 +4369,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_stats": q_link_stats,
     "c4_line_rules": q_c4_line_rules,
     "lang_entropy": q_lang_entropy,
-    "stratified_sample": q_stratified_sample,
+    "vocab_stats": q_vocab_stats,
     "curate_pipeline": q_curate_pipeline,
     "repetition_stats": q_repetition_stats,
     "gopher_quality": q_gopher_quality,
@@ -4350,6 +4381,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_bigrams": q_pmi_bigrams,
     # --- positions 51+: oracle-backed but outside the driver's 50-entry
     # window this round (rotation policy above)
+    "stratified_sample": q_stratified_sample,
     "decontaminate": q_decontaminate,
     "bm25_search": q_bm25_search,
     "dedup_components": q_dedup_components,
@@ -4513,5 +4545,6 @@ ORACLE: dict[str, str] = {
     "mirror_hosts": ORACLE_MIRROR_HOSTS,
     "c4_line_rules": ORACLE_C4_LINE_RULES,
     "lang_entropy": ORACLE_LANG_ENTROPY,
+    "vocab_stats": ORACLE_VOCAB_STATS,
     "crawl_depth": ORACLE_CRAWL_DEPTH,
 }

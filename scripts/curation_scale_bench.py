@@ -401,6 +401,11 @@ def main() -> None:
         ).alias("lang"),
     )
     run("lang_entropy", host_lang_entropy(le_docs), checksum=True)
+
+    # vocab health: one (source, token) wordcount shuffle + rollup
+    from nlnieuwscrawler_spark.functions.text import vocab_stats
+
+    run("vocab_stats", vocab_stats(docs), checksum=True)
     from nlnieuwscrawler_spark.operators.graph import crawl_depth
 
     bfs_stats: dict = {}

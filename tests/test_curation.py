@@ -660,3 +660,22 @@ def test_host_lang_entropy_manual(spark):
         -0.25 * math.log(0.25), 9)
     assert abs(out["mix"]["lang_entropy"] - want_mix) < 1e-12
     assert out["mix"]["majority_lang"] == "nl" and out["mix"]["n_docs"] == 4
+
+
+def test_vocab_stats_hapax_and_ttr(spark):
+    """Hapax ratio counts once-only tokens within the source; TTR =
+    distinct/total; empty docs contribute nothing."""
+    from nlnieuwscrawler_spark.functions.text import vocab_stats
+
+    rows = [
+        (1, "A", "aa bb aa cc"),   # A tokens: aa×2 bb cc + dd dd
+        (2, "A", "dd dd"),         # distinct {aa,bb,cc,dd}, hapax {bb,cc}
+        (3, "B", "x y z"),         # all hapax
+        (4, "B", ""),              # empty: nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in vocab_stats(df).collect()}
+    assert out["A"]["n_tokens"] == 6 and out["A"]["n_distinct"] == 4
+    assert out["A"]["hapax_ratio"] == 0.5      # 2 of 4 distinct
+    assert out["A"]["ttr"] == round(4 / 6, 6)
+    assert out["B"]["hapax_ratio"] == 1.0 and out["B"]["ttr"] == 1.0
