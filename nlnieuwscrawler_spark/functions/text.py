@@ -923,13 +923,9 @@ def perplexity_buckets(
     ranked = global_sequence(scored, ["avg_nll", id_col], seq_col="__rk")
     scored.unpersist()
     tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    bucket = F.expr(
-        f"CASE WHEN __rk <= ((__n DIV {k}) + 1) * (__n % {k}) "
-        f"THEN (__rk - 1) DIV ((__n DIV {k}) + 1) + 1 "
-        f"ELSE (__n % {k}) + "
-        f"(__rk - 1 - ((__n DIV {k}) + 1) * (__n % {k})) DIV (__n DIV {k}) "
-        f"+ 1 END"
-    ).cast("long")
+    from nlnieuwscrawler_spark.operators.sequence import ntile_from_rank
+
+    bucket = ntile_from_rank("__rk", "__n", k)
     return (
         ranked.crossJoin(F.broadcast(tot))
         .select(bucket.alias("ppl_bucket"), "n_bigrams", "avg_nll")

@@ -171,6 +171,8 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cache: bool = True,
+    max_cluster: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """SemDeDup pruning → (id, cluster, keep).
 
@@ -187,6 +189,20 @@ def semdedup(
     precomputed per row (n sqrt-sums, not n² — measured 3× per-pair
     cheaper at the 2M leg) — bit-identical to a per-pair norm because
     sqrt over the same left-to-right fold is the same IEEE double.
+
+    ``max_cluster`` (VERDICT r5 #3) bounds the O(c²) within-cluster
+    join against DEGENERATE clusterings (one centroid capturing most of
+    the corpus — k ∝ n is the paper's design point, but a pathological
+    embedding distribution can break it at runtime, when re-picking k is
+    no longer an option). Clusters above the bound are split into
+    ⌈size/max_cluster⌉ deterministic md5-hash sub-blocks and pairs are
+    blocked on (cluster, sub-block), capping the candidate count at
+    Σ⌈c/max⌉·max² instead of Σc². Sub-blocking a split cluster prunes
+    its cross-block pairs — the same recall trade the paper makes by
+    raising k, here applied ONLY to the oversized clusters (all others
+    keep exact within-cluster semantics; ``max_cluster=None``, the
+    default, changes nothing). ``stats`` records ``oversized_clusters``
+    and ``max_cluster_size`` so a production run can see the guard fire.
     """
     base = df.select(F.col(id_col), F.col(vec_col))
     centroids = _fit_centroids(base, k, iters, vec_col, id_col, cache=cache)
@@ -196,15 +212,44 @@ def semdedup(
                 norm(F.col(vec_col)).alias("__nrm"))
         .persist()
     )
-    a = labeled.select(
+    if max_cluster is not None:
+        # k-row size table: the split factor is metadata, broadcast back
+        sizes = labeled.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("__csz")
+        )
+        if stats is not None:
+            srows = sizes.collect()
+            stats["oversized_clusters"] = sum(
+                1 for r in srows if r["__csz"] > max_cluster
+            )
+            stats["max_cluster_size"] = max(
+                (r["__csz"] for r in srows), default=0
+            )
+        nsub = F.ceil(F.col("__csz") / F.lit(int(max_cluster))).cast("long")
+        sub = (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % F.greatest(nsub, F.lit(1))
+        )
+        blocked = (
+            labeled.join(F.broadcast(sizes), "cluster")
+            .withColumn("__sub", sub)
+            .drop("__csz")
+        )
+    else:
+        blocked = labeled.withColumn("__sub", F.lit(0))
+    a = blocked.select(
         F.col(id_col).alias("__ida"),
         F.col("cluster").alias("__ca"),
+        F.col("__sub").alias("__sa"),
         F.col(vec_col).alias("__va"),
         F.col("__nrm").alias("__na"),
     )
-    b = labeled.select(
+    b = blocked.select(
         F.col(id_col).alias("__idb"),
         F.col("cluster").alias("__cb"),
+        F.col("__sub").alias("__sb"),
         F.col(vec_col).alias("__vb"),
         F.col("__nrm").alias("__nb"),
     )
@@ -218,6 +263,7 @@ def semdedup(
     ).otherwise(F.lit(0.0))
     dups = (
         a.join(b, (F.col("__ca") == F.col("__cb"))
+               & (F.col("__sa") == F.col("__sb"))
                & (F.col("__idb") < F.col("__ida")))
         .filter(F.round(cos, 6) >= F.lit(float(threshold)))
         .select(F.col("__ida").alias(id_col))

@@ -130,6 +130,10 @@ def curate(
     """
     if near_dup not in ("minhash", "jaccard", None):
         raise ValueError(f"unknown near_dup {near_dup!r}")
+    if span_dedup is not None and span_dedup < 1:
+        raise ValueError(
+            f"span_dedup must be a positive span width, got {span_dedup!r}"
+        )
 
     # -- 1. quality gates ---------------------------------------------------
     quality_ids = (
@@ -161,7 +165,11 @@ def curate(
     # -- 4. near-dup clustering + keep-one-per-cluster retention ------------
     if near_dup == "minhash":
         pairs = minhash_lsh_pairs(
-            incd, text_col=text_col, id_col=id_col, threshold=near_dup_threshold
+            incd,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=near_dup_threshold,
+            block_col=near_dup_block,
         )
     elif near_dup == "jaccard":
         pairs = ngram_jaccard_pairs(

@@ -352,10 +352,11 @@ def dedup_retention(
     production dedup actually wants (FineWeb keeps the longest /
     highest-scoring duplicate, not the accidental smallest id). The
     winner table is computed on the component nodes ONLY (the dup
-    subgraph): one broadcast semi-sized join pulls quality for those
-    ids, one ``max_by(id, struct(quality, -id))`` agg picks winners,
-    and the corpus-sized pass stays a single left join — identical
-    shape to the min-id path, one extra metadata-sized agg.
+    subgraph): one id-keyed join pulls quality for those ids, one
+    ``max_by(id, struct(quality, -id))`` agg picks winners, and the
+    corpus-sized pass stays the same shuffled left join as the min-id
+    path (comp is unbounded — never force-broadcast it) plus one
+    broadcast of the |components|-sized winners table.
     """
     comp = dedup_components(pairs, reliable=reliable, stats=stats)
     label = F.coalesce(F.col("component"), F.col("doc_id"))
@@ -381,9 +382,14 @@ def dedup_retention(
             "doc_id", F.struct(F.col("__q"), (-F.col("doc_id")).alias("__n"))
         ).alias("__winner")
     )
+    # comp is the full dup-subgraph node set — unbounded (can be most of
+    # the corpus under heavy duplication), so it joins like the min-id
+    # path: plain shuffle join, AQE free to pick the strategy. Only the
+    # |components|-sized winners table is small by construction (one row
+    # per cluster) and safe to force-broadcast.
     return (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(F.broadcast(comp), "doc_id", "left")
+        .join(comp, "doc_id", "left")
         .join(F.broadcast(winners), "component", "left")
         .select(
             F.col("doc_id").alias(id_col),
@@ -599,6 +605,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -606,17 +613,27 @@ def minhash_lsh_pairs(
     probability 1-(1-j^r)^b (S-curve around j≈(1/b)^(1/r)). Candidates are
     exact-verified so false positives cost time, never correctness.
 
+    ``block_col``: restrict candidate pairs to docs sharing this column's
+    value (e.g. ``lang``) — the same blocking contract as
+    :func:`ngram_jaccard_pairs`, so ``curate()`` gets an identical pair
+    universe whichever near-dup backend it picks. Implemented as an extra
+    equi-key on the bucket join (never a post-filter), so cross-block
+    bucket collisions are pruned by the shuffle hash, not materialized.
+
     Scale shape: explode to (doc, band, band_key) — |docs|×bands rows —
     then a groupBy band bucket; hot buckets are bounded by collision rate,
     and the final verify joins only candidate ids back to their gram sets.
     """
     r = num_hashes // bands
+    base = [F.col(id_col).alias("id"), F.col(text_col)]
+    if block_col is not None:
+        base.append(F.col(block_col).alias("__blk"))
+    gram_cols = ["id", word_ngrams(F.col(text_col), n).alias("grams")] + (
+        ["__blk"] if block_col is not None else []
+    )
     g = (
-        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
-        .select(
-            "id",
-            word_ngrams(F.col(text_col), n).alias("grams"),
-        )
+        _spread(df.select(*base))
+        .select(*gram_cols)
         # docs with no n-grams (< n tokens) can never be near-dups of
         # anything (Jaccard 0 by convention); dropping them here also keeps
         # their all-NULL signatures out of the banding stage, where they
@@ -638,12 +655,15 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    banded = g.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    blk = ["__blk"] if block_col is not None else []
+    banded = g.select(
+        "id", F.explode(F.array(*band_cols)).alias("bk"), *blk
+    ).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), *blk
     )
     cand = (
         banded.alias("x")
-        .join(banded.alias("y"), on=["band", "key"])
+        .join(banded.alias("y"), on=["band", "key"] + blk)
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
         .distinct()

@@ -30,19 +30,20 @@ engines. Degenerate corpus (Σ weight = 0) falls back to equal shares.
 100 TB shape: every input to the final assembly is |hosts|-sized (~10^7
 at web scale — kilobytes per million hosts, broadcast-range), so the
 joins are broadcasts and the one-row weight total is a broadcast cross
-join. The remainder ranking is a single-partition window over the
-narrow (host, rem) projection — at 10^7 hosts that is ~160 MB in one
-task, the documented ceiling; past it, swap the row_number for
-operators/sequence.global_sequence (the range-partitioned parallel rank
-perplexity_buckets uses) without changing semantics. The expensive
+join. The remainder ranking is operators/sequence.global_sequence — the
+range-partitioned parallel rank perplexity_buckets and ntile_buckets
+use — so there is NO single-task window anywhere in the plan and the
+host-count ceiling the r5 docstring documented is gone. The expensive
 parts — PageRank's per-iteration edge aggregation and the change-rate
 window over the fetch log — keep their own documented scale shapes.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from nlnieuwscrawler_spark.operators.sequence import global_sequence
 
 from nlnieuwscrawler_spark.operators.graph import host_pagerank
 from nlnieuwscrawler_spark.operators.recrawl import recrawl_schedule
@@ -108,14 +109,22 @@ def plan_crawl(
         F.floor(ideal).cast("long").alias("__base"),
         (ideal - F.floor(ideal)).alias("__rem"),
     )
-    lo = b.agg(
+    # Largest-remainder tiebreak rank: a RANGE-partitioned parallel rank
+    # (global_sequence) instead of row_number() OVER (ORDER BY …) — the
+    # unpartitioned-WindowExec form was acceptable on |hosts| rows but the
+    # engine owns the scale-safe primitive, so use it (same swap as
+    # ntile_buckets; plan-pinned by test_plan_crawl_no_global_window).
+    # Bonus: ranked is localCheckpoint-materialized by global_sequence, so
+    # computing the leftover from it (not from b) evaluates the
+    # pagerank × recrawl × quality chain exactly once.
+    ranked = global_sequence(
+        b, [F.col("__rem").desc(), F.col("host").asc()], seq_col="__rn"
+    )
+    lo = ranked.agg(
         (F.lit(int(budget)) - F.sum("__base")).cast("long").alias("__leftover")
     )
-    rn = F.row_number().over(
-        Window.orderBy(F.col("__rem").desc(), F.col("host").asc())
-    )
     return (
-        b.withColumn("__rn", rn)
+        ranked
         .crossJoin(F.broadcast(lo))
         .select(
             "host", "rank", "change_rate", "qscore", "weight",

@@ -88,3 +88,25 @@ def global_sequence(
     if cache_registry is not None:
         cache_registry.append(out)
     return out
+
+
+def ntile_from_rank(rank_col: str, total_col: str, k: int) -> F.Column:
+    """Closed-form SQL ``NTILE(k)`` from a global 1-based rank + total N.
+
+    Exactly SQL NTILE semantics: the first ``N % k`` buckets take
+    ``N div k + 1`` rows, the rest take ``N div k`` (pinned against
+    DuckDB's ``ntile`` by the perplexity_buckets and ntile_buckets
+    oracles). Combined with :func:`global_sequence` this replaces the
+    single-task ``ntile() OVER (ORDER BY …)`` anti-pattern: the rank is
+    a RANGE-partitioned parallel sort, the bucket is pure per-row
+    arithmetic — no unpartitioned WindowExec anywhere in the plan.
+    ``total_col`` is typically a 1-row broadcast crossJoin (metadata
+    sized).
+    """
+    return F.expr(
+        f"CASE WHEN {rank_col} <= (({total_col} DIV {k}) + 1) * ({total_col} % {k}) "
+        f"THEN ({rank_col} - 1) DIV (({total_col} DIV {k}) + 1) + 1 "
+        f"ELSE ({total_col} % {k}) + "
+        f"({rank_col} - 1 - (({total_col} DIV {k}) + 1) * ({total_col} % {k})) "
+        f"DIV ({total_col} DIV {k}) + 1 END"
+    ).cast("long")

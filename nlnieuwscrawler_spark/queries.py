@@ -914,11 +914,29 @@ ORDER BY n_regionkey, n_name
 
 
 def q_ntile_buckets(spark, sf_dir):
-    """ntile + first/last window analytics over customer balances."""
-    c = load(spark, sf_dir, "customer")
-    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    """Global NTILE(4) over customer balances — the SCALE-SAFE form.
+
+    ``ntile() OVER (ORDER BY …)`` with no PARTITION BY is a single-task
+    sort of the whole table (Spark warns ``WindowExec: No Partition
+    Defined``); at 100 TB that one task is the job. Instead: a
+    range-partitioned parallel rank (``global_sequence`` over the NARROW
+    (custkey, acctbal) projection) + the closed-form NTILE arithmetic
+    (``ntile_from_rank``) + a 1-row broadcast of the total — the same
+    recipe perplexity_buckets uses, pinned by
+    tests/test_queries.py::test_ntile_plan_has_no_global_window against
+    any unpartitioned WindowExec. Oracle (DuckDB's real ntile) unchanged.
+    """
+    from nlnieuwscrawler_spark.operators.sequence import (
+        global_sequence,
+        ntile_from_rank,
+    )
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = global_sequence(c, ["c_acctbal", "c_custkey"], seq_col="__rk")
+    tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     return (
-        c.withColumn("quartile", F.ntile(4).over(w))
+        ranked.crossJoin(F.broadcast(tot))
+        .select(ntile_from_rank("__rk", "__n", 4).alias("quartile"), "c_acctbal")
         .groupBy("quartile")
         .agg(
             F.count("*").alias("n"),
@@ -1854,9 +1872,9 @@ WITH RECURSIVE g AS (
 ), pairs AS (
   SELECT doc_a, doc_b FROM (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           len(list_filter(a.grams, x -> list_contains(b.grams, x)))::DOUBLE /
+           round(len(list_filter(a.grams, x -> list_contains(b.grams, x)))::DOUBLE /
              (len(a.grams) + len(b.grams)
-              - len(list_filter(a.grams, x -> list_contains(b.grams, x)))) AS jacc
+              - len(list_filter(a.grams, x -> list_contains(b.grams, x)))), 6) AS jacc
     FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
   ) WHERE jacc >= 0.7
 ), edges AS (
@@ -2372,9 +2390,9 @@ WITH RECURSIVE g AS (
 ), pairs AS (
   SELECT doc_a, doc_b FROM (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           len(list_filter(a.grams, x -> list_contains(b.grams, x)))::DOUBLE /
+           round(len(list_filter(a.grams, x -> list_contains(b.grams, x)))::DOUBLE /
              (len(a.grams) + len(b.grams)
-              - len(list_filter(a.grams, x -> list_contains(b.grams, x)))) AS jacc
+              - len(list_filter(a.grams, x -> list_contains(b.grams, x)))), 6) AS jacc
     FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
   ) WHERE jacc >= 0.7
 ), edges AS (
@@ -2424,9 +2442,9 @@ WITH RECURSIVE g AS (
 ), pairs AS (
   SELECT doc_a, doc_b FROM (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           len(list_filter(a.grams, x -> list_contains(b.grams, x)))::DOUBLE /
+           round(len(list_filter(a.grams, x -> list_contains(b.grams, x)))::DOUBLE /
              (len(a.grams) + len(b.grams)
-              - len(list_filter(a.grams, x -> list_contains(b.grams, x)))) AS jacc
+              - len(list_filter(a.grams, x -> list_contains(b.grams, x)))), 6) AS jacc
     FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
   ) WHERE jacc >= 0.7
 ), edges AS (

@@ -139,6 +139,55 @@ def test_kmeans_assignment_is_zero_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_semdedup_max_cluster_guard_bounds_degenerate_blocks(spark):
+    """VERDICT r5 #3: a degenerate embedding distribution (~80% of
+    vectors collapsing into ONE cluster) must not go quadratic when the
+    guard is armed. Oversized clusters split into md5 sub-blocks; the
+    guard (a) reports the degeneracy via stats, (b) still drops
+    duplicates inside blocks, (c) only ever PRUNES pairs vs the exact
+    run (never invents a drop), and (d) keeps the default path
+    (max_cluster=None) byte-identical to the unguarded result."""
+    rng = np.random.RandomState(11)
+    # 400 near-identical vectors around one point (one mega-cluster)
+    # + 100 spread-out vectors that form the healthy remainder
+    mega = (np.ones((400, 8)) + rng.standard_normal((400, 8)) * 1e-4)
+    rest = rng.standard_normal((100, 8)) * 5.0
+    vecs = np.concatenate([mega, rest]).astype(np.float32)
+    df = _vec_df(spark, vecs)
+
+    stats: dict = {}
+    guarded = (
+        semdedup(df, k=8, iters=2, threshold=0.99, max_cluster=50,
+                 stats=stats)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    exact = (
+        semdedup(df, k=8, iters=2, threshold=0.99)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    # (a) the guard saw the degenerate cluster
+    assert stats["oversized_clusters"] >= 1
+    assert stats["max_cluster_size"] >= 300
+    # (b) sub-blocks of ~50 near-identical vectors still dedup hard:
+    # at most one keeper per sub-block among the 400 mega vectors
+    # (⌈400/50⌉ = 8 blocks -> ≤ ~2x hash-variance headroom)
+    mega_keeps = int(guarded.loc[:399, "keep"].sum())
+    assert mega_keeps <= 16, mega_keeps
+    # (c) guarded drops ⊆ exact drops (pruning can only MISS pairs)
+    g_drop = set(guarded.loc[~guarded["keep"], "vec_id"])
+    e_drop = set(exact.loc[~exact["keep"], "vec_id"])
+    assert g_drop <= e_drop
+    # (d) a generous bound changes nothing
+    loose = (
+        semdedup(df, k=8, iters=2, threshold=0.99, max_cluster=10_000)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    assert list(loose["keep"]) == list(exact["keep"])
+
+
 def test_semdedup_pair_join_is_equi_not_cartesian(spark):
     rng = np.random.RandomState(5)
     df = _vec_df(spark, rng.standard_normal((40, 4)).astype(np.float32))

@@ -92,3 +92,15 @@ def test_plan_crawl_no_bnlj_and_stats(spark):
         "BroadcastNestedLoopJoin"
     ), plan  # every one is an explicit 1-row cross, never a fallback join
     assert "CartesianProduct" not in plan
+
+
+def test_plan_crawl_no_global_window(spark):
+    """VERDICT r5 #2: the largest-remainder tiebreak rank is
+    global_sequence (range-partitioned parallel rank), so the final plan
+    carries NO WindowExec at all — the r5 form had an unpartitioned
+    row_number window over the host table."""
+    edges, obs, quality = _fixtures(spark)
+    out = plan_crawl(edges, obs, quality, n_hosts=3, budget=50, iters=2)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan

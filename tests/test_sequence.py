@@ -32,3 +32,35 @@ def test_empty_input(spark):
     e = spark.createDataFrame([], "event_id long, ts timestamp")
     out = global_sequence(e, [F.col("ts").asc(), F.col("event_id").asc()])
     assert out.count() == 0
+
+
+def test_ntile_from_rank_matches_sql_ntile(spark):
+    """Closed-form NTILE ≡ SQL ntile() for awkward N % k remainders."""
+    from nlnieuwscrawler_spark.operators.sequence import ntile_from_rank
+
+    for n, k in [(10, 4), (7, 3), (12, 5), (5, 5), (3, 7), (100, 1)]:
+        df = spark.range(1, n + 1).select(
+            F.col("id").alias("__rk"), F.lit(n).cast("long").alias("__n")
+        )
+        got = df.select(
+            "__rk", ntile_from_rank("__rk", "__n", k).alias("b")
+        )
+        want = df.select(
+            "__rk",
+            F.ntile(k).over(Window.orderBy("__rk")).cast("long").alias("b"),
+        )
+        assert got.exceptAll(want).count() == 0, (n, k)
+        assert want.exceptAll(got).count() == 0, (n, k)
+
+
+def test_ntile_buckets_plan_has_no_global_window(spark):
+    """VERDICT r5 #2: the registry's global-NTILE query must carry NO
+    unpartitioned WindowExec — the rank is global_sequence's
+    range-partitioned parallel sort, the bucket closed-form arithmetic."""
+    from nlnieuwscrawler_spark.queries import q_ntile_buckets
+
+    out = q_ntile_buckets(spark, SF)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
