@@ -43,17 +43,36 @@ def _ensure_bench_corpus(spark, n_pages: int) -> str:
     return path
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(
+    spark, sf_dir: str, reps: int = 1
+) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Time every registry query; returns (per-query MEDIAN, all reps).
+
+    Single-rep totals on this box swing ±25% (VERDICT r5 #6), so
+    round-over-round comparisons kept needing manual median-of-3
+    forensics. ``reps > 1`` runs the whole registry that many times
+    (full sweeps, not back-to-back repeats of one query, so rep i of
+    every query sees the same JVM warm-up state rep i of every other
+    does) and reports per-query medians + the raw spread in the full
+    record. The driver's default invocation stays reps=1 (same wall
+    time as before); set SPARK_GRAFT_BENCH_REPS=3 for a BENCH record.
+    """
+    import statistics
+
     from nlnieuwscrawler_spark.queries import QUERIES
 
-    timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
-    return timings
+    all_reps: dict[str, list[float]] = {name: [] for name in QUERIES}
+    for _ in range(max(1, reps)):
+        for name, fn in QUERIES.items():
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            all_reps[name].append(round(time.perf_counter() - t0, 4))
+            assert n >= 0
+    medians = {
+        name: round(statistics.median(ts), 4) for name, ts in all_reps.items()
+    }
+    return medians, all_reps
 
 
 def run_crawl(spark, n_pages: int, epochs: int = 4) -> dict:
@@ -294,7 +313,8 @@ def main() -> None:
         return
 
     spark = get_spark("nlnc-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
-    timings = run_queries(spark, sf_dir)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+    timings, all_reps = run_queries(spark, sf_dir, reps=reps)
     crawl = run_crawl(spark, n_pages)
     total = round(sum(timings.values()), 3)
     out = {
@@ -302,9 +322,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "reps": reps,
         "sf": sf,
         "crawl": crawl,
     }
+    if reps > 1:
+        # raw spread goes to the FULL record only (the stdout line stays
+        # compact); value/queries above are per-query medians
+        out["query_reps"] = all_reps
     # full record: stdout line 1 (humans/back-compat) + a file the judge can
     # always read regardless of how much stdout the harness keeps
     print(json.dumps(out))
@@ -335,6 +360,7 @@ def main() -> None:
         "queries": slowest,
         "queries_n": len(timings),
         "queries_full": "BENCH/last_run_full.json",
+        "reps": reps,
         "sf": sf,
         "crawl": crawl,
     }

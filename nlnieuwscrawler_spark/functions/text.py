@@ -1222,3 +1222,63 @@ def vocab_stats(df, text_col: str = "text", id_col: str = "doc_id",
             F.count(F.lit(1)).cast("double") / F.sum("__c"), 6
         ).alias("ttr"),
     )
+
+
+def ngram_novelty(df, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3):
+    """Per-doc n-gram novelty → (id, n_grams, n_novel, novelty): the
+    fraction of a doc's DISTINCT n-grams whose first corpus occurrence
+    (min doc id over all docs containing the gram) is the doc itself —
+    the "how much genuinely new text does this page add" curation
+    signal. Ingest-ordered ids make this incremental-crawl novelty: a
+    rehosted or templated page scores near 0, fresh reporting near 1;
+    downweighting low-novelty docs is the soft cousin of span dedup
+    (which hard-removes the repeated text).
+
+    100 TB shape: explode the corpus to NARROW (gram, id) pairs once;
+    ``min(id)`` per gram is a map-side-combinable hash agg (the same
+    first-occurrence agg dedup_spans uses); one gram-keyed equi-join
+    scores the pairs and a per-doc agg folds them back — two exchanges
+    of gram-sized rows, no text column in either, no windows. Gramless
+    docs (< n tokens) are novelty 1.0 by convention (nothing repeated).
+    Convention: grams are counted DISTINCT per doc (a doc repeating its
+    own gram isn't penalized — that's repetition_stats' job).
+    """
+    from nlnieuwscrawler_spark.operators.dedup import word_ngrams
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("__grams"),
+    )
+    pairs = base.select(
+        "__id", F.explode("__grams").alias("__gram")
+    )
+    first = pairs.groupBy("__gram").agg(F.min("__id").alias("__first"))
+    per_doc = (
+        pairs.join(first, "__gram")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("__first") == F.col("__id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        base.select("__id")
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) == 0, F.lit(1.0)
+            )
+            .otherwise(
+                F.round(
+                    F.col("n_novel").cast("double") / F.col("n_grams"), 6
+                )
+            )
+            .alias("novelty"),
+        )
+    )

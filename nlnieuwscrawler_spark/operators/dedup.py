@@ -906,3 +906,45 @@ def mirror_hosts(
         .agg(F.count(F.lit(1)).cast("long").alias("shared_docs"))
         .filter(F.col("shared_docs") >= F.lit(min_shared))
     )
+
+
+def host_dup_stats(
+    df: DataFrame,
+    host_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-host duplicate mass → (host, n_docs, n_unique, n_dup,
+    dup_ratio): how much of each host's crawled page set is exact
+    duplicate content (md5 of the text). The crawl-budget signal
+    ``plan_crawl`` wants next to PageRank/change-rate: a host where 60%
+    of fetches return already-seen bytes is a template farm or a
+    calendar trap, and its quota should fall regardless of authority.
+    Site-LEVEL pairwise overlap (mirror detection) is
+    :func:`mirror_hosts`; this is the cheap within-host rollup.
+
+    100 TB shape: one map-side-combinable two-phase aggregate over the
+    NARROW (host, md5) projection — partial distinct-on-(host, hash)
+    then a per-host count — no joins, no windows, no text column past
+    the scan (the md5 projects 16 bytes/row at the source).
+    """
+    h = df.select(
+        F.col(host_col).alias("host"), F.md5(F.col(text_col)).alias("__h")
+    )
+    return (
+        h.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct(F.col("__h")).cast("long").alias("n_unique"),
+        )
+        .select(
+            "host",
+            "n_docs",
+            "n_unique",
+            (F.col("n_docs") - F.col("n_unique")).alias("n_dup"),
+            F.round(
+                (F.col("n_docs") - F.col("n_unique")).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )

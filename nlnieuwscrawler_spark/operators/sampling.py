@@ -295,3 +295,52 @@ def select_top_percent(
         F.col("n_source"),
         (rank <= quota).alias("keep"),
     )
+
+
+def shard_pack(
+    df,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shard_tokens: int = 100_000,
+):
+    """Contiguous token-budget sharding → (id, n_tokens, running,
+    shard_id, shard_pos): lay the corpus out in one deterministic order
+    (the md5-of-id draw — engine-portable, clusters nothing) and cut it
+    into training shards of ``shard_tokens`` tokens each. ``running`` is
+    the inclusive corpus-wide token prefix sum; a doc belongs to the
+    shard its FIRST token falls in (``(running - n) DIV shard_tokens``),
+    so shards are contiguous runs of the manifest and every doc lands in
+    exactly one — the shard manifest a trainer's data loader consumes
+    (complement of :func:`pack_sequences`: bins pack WITHIN a context
+    window, shards balance token mass ACROSS output files).
+
+    100 TB shape: the only global dependency is the prefix sum, computed
+    by ``global_running_sum`` — a range-partitioned parallel scan over
+    the NARROW (order, id, n) projection with a |partitions|-row offset
+    collect — NOT a ``SUM() OVER (ORDER BY ...)`` single-task window;
+    ``shard_id``/``shard_pos`` are pure arithmetic on the scan output.
+    Exactness: token counts are integral, so the prefix sum is exact and
+    partition-layout free; DuckDB's window form reproduces it bit-for-bit.
+    """
+    from nlnieuwscrawler_spark.operators.sequence import global_running_sum
+
+    narrow = df.select(
+        F.col(id_col),
+        F.col(tokens_col).cast("long").alias("__n"),
+        F.md5(F.col(id_col).cast("string")).alias("__ord"),
+    )
+    scanned = global_running_sum(
+        narrow, [F.col("__ord"), F.col(id_col)], "__n", sum_col="running"
+    )
+    # integer DIV/% — float division would lose exactness past 2^53 tokens
+    return scanned.select(
+        F.col(id_col),
+        F.col("__n").alias("n_tokens"),
+        F.col("running"),
+        F.expr(f"(running - __n) DIV {int(shard_tokens)}")
+        .cast("long")
+        .alias("shard_id"),
+        F.expr(f"(running - __n) % {int(shard_tokens)}")
+        .cast("long")
+        .alias("shard_pos"),
+    )

@@ -90,6 +90,76 @@ def global_sequence(
     return out
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    sum_col: str = "running",
+    num_partitions: int | None = None,
+    reliable: bool = False,
+) -> DataFrame:
+    """Add ``sum_col`` = INCLUSIVE prefix sum of ``value_col`` in
+    ``order_cols`` order — the parallel form of
+    ``SUM(v) OVER (ORDER BY ...)``, which Spark executes as ONE task.
+
+    Same two-phase recipe as :func:`global_sequence` (this module's
+    docstring): range-partition + local sort, one cheap job aggregates
+    the per-partition SUM of ``value_col``, partition offsets are the
+    exclusive scan of those totals (driver-side over ~num_partitions
+    values — metadata, not data), and a ``mapInPandas`` pass adds each
+    partition's numpy cumsum to its broadcast offset. Values must be
+    integral (LongType result — exact, associative, partition-order
+    free; float prefix sums would depend on partition boundaries).
+
+    The workhorse of token-budget sharding (:func:`~nlnieuwscrawler_spark.
+    operators.sampling.shard_pack`): at 10^10 docs the prefix sum is the
+    only global dependency, and it costs one range shuffle of the NARROW
+    (order, value) projection plus a |partitions|-row collect.
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism * 2
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = {
+        r["pid"]: r["tot"]
+        for r in ranged.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.sum(F.col(value_col).cast("long")).alias("tot"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    bc = spark.sparkContext.broadcast(offsets)
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(sum_col, T.LongType(), False)]
+    )
+    vcol = value_col
+
+    def scan_partition(batches):
+        pid = TaskContext.get().partitionId()
+        base = bc.value.get(pid, 0)
+        for pdf in batches:
+            pdf = pdf.copy()
+            c = np.cumsum(pdf[vcol].to_numpy(dtype=np.int64))
+            pdf[sum_col] = base + c
+            base += int(c[-1]) if len(c) else 0
+            yield pdf
+
+    from nlnieuwscrawler_spark.operators.checkpoint import cut_lineage
+
+    out = cut_lineage(
+        ranged.mapInPandas(scan_partition, out_schema), reliable
+    )
+    ranged.unpersist()
+    return out
+
+
 def ntile_from_rank(rank_col: str, total_col: str, k: int) -> F.Column:
     """Closed-form SQL ``NTILE(k)`` from a global 1-based rank + total N.
 

@@ -2068,35 +2068,115 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(d, capacity=512, n_buckets=16).orderBy("doc_id")
 
 
+#: fixed template text planted on every 41st doc so the composite's
+#: exact/near-dup stages are non-vacuous after cleaning (raw corpus texts
+#: are globally unique): docs sharing the template and the same planted
+#: PII-tail pattern become EXACT dups of the cleaned text; ones that
+#: differ only in tails become near-dups
+CURATE_TEMPLATE = (
+    "het vaste sjabloon artikel over spark rijen en kolommen met een "
+    "lange vaste tekst die in alle gespiegelde paginas identiek is zodat "
+    "exacte duplicaten ontstaan na het schonen van de regels"
+)
+
+
+def _curate_frontier(spark, sf_dir):
+    """The composite's deterministic web-page view over ``documents``:
+    a 6-line page layout (content windows, a corpus-wide footer, a JS
+    banner, a REPEATED content line, planted PII tails, a lorem-ipsum
+    page flag every 23rd doc) plus the url_filter frontier URL — every
+    ingest/rewrite stage trips at every SF, with identical string
+    arithmetic in DuckDB."""
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.when(did % 41 == 0, F.lit(CURATE_TEMPLATE)).otherwise(F.col("text"))
+    path_part = F.expr(
+        "repeat(concat('/s', cast(doc_id % 3 as string)),"
+        " cast(doc_id % 12 as int))"
+    )
+    digit_part = F.when(
+        did % 5 == 0, F.lit("/d12345678901234567890")
+    ).otherwise(F.lit(""))
+    adult_part = F.when(did % 97 == 3, F.lit("/xxx")).otherwise(F.lit(""))
+    query_part = F.when(
+        did % 7 > 0,
+        F.concat(
+            F.lit("?"),
+            F.expr("substring(repeat('&k=v', cast(doc_id % 7 as int)), 2)"),
+        ),
+    ).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.nl"),
+        path_part, digit_part, adult_part, query_part,
+    )
+    mail_tail = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" mail user"), did.cast("string"),
+                 F.lit("@example.com nu")),
+    ).otherwise(F.lit(""))
+    ip_tail = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(" via 10."), (did % 256).cast("string"),
+                 F.lit(".0."), ((did * 7) % 256).cast("string")),
+    ).otherwise(F.lit(""))
+    lorem = F.when(did % 23 == 0, F.lit(" lorem ipsum")).otherwise(F.lit(""))
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.substring(t, 1, 60), F.lit(".")),
+        F.lit("(c) nlnieuws all rights reserved."),
+        F.lit("Please enable JavaScript to continue."),
+        F.concat(F.substring(t, 1, 60), F.lit(".")),
+        F.concat(F.substring(t, 61, 50), F.lit(" en zo.")),
+        F.concat(F.substring(t, 111, 60), mail_tail, ip_tail,
+                 F.lit(" einde?"), lorem),
+    )
+    return d.select(
+        "doc_id", "lang", "source", "n_chars",
+        url.alias("url"), page.alias("text"),
+    )
+
+
 def q_curate_pipeline(spark, sf_dir):
-    """END-TO-END curation composite (operators/curate.py): gopher gates →
-    exact dedup → incremental dedup vs a history shard (doc_id % 31 == 0)
-    → n-gram-Jaccard near-dup retention → C4-style global 16-token-span
-    dedup (docs rebuilt from first-occurrence spans) → decontamination vs
-    the eval slice (doc_id % 97 == 0) → stratified per-source sampling →
-    FFD packing. Returns the per-stage audit (stage_idx, stage,
-    rows_kept) — the row a data team reviews before a training run. Every
-    stage is SQL-expressible in jaccard mode, so the WHOLE chain is
-    exact-oracled (the composed CTE oracle below); packed == sampled pins
-    the packing-drops-nothing invariant in the audit itself."""
+    """END-TO-END curation composite (operators/curate.py), r6 form —
+    every stage of the extended pipeline enabled and non-vacuous:
+    URL quality gate → incremental dedup vs a recrawl history (the
+    %13==2 slice of the SAME synthesized pages — re-ingested unchanged
+    pages, the realistic cross-shard hit) → C4 line rules (JS banner +
+    lorem pages) → intra-doc line dedup (the repeated content line) →
+    cross-doc boilerplate scrub (the corpus-wide footer) → PII redaction
+    (planted email/IP tails) → Gopher gates → exact dedup (template
+    collisions) → n-gram-Jaccard near-dup retention keeping the BEST doc
+    by n_chars (FineWeb rule) → C4-style global 16-token-span dedup →
+    decontamination vs the raw %9==1 eval slice → stratified sampling →
+    FFD packing. Returns the 14-row per-stage audit
+    (stage_idx, stage, rows_kept) — the table a data team reviews before
+    a training run; the WHOLE chain is exact-oracled by the composed
+    MATERIALIZED-CTE oracle below."""
     from nlnieuwscrawler_spark.operators.curate import curate
 
-    d = load(spark, sf_dir, "documents")
-    corpus = d.filter(F.pmod(F.col("doc_id"), F.lit(31)) != 0)
+    lined = _curate_frontier(spark, sf_dir)
+    did = F.col("doc_id")
+    corpus = lined.filter(did % 31 != 0)
     hist = (
-        d.filter(F.pmod(F.col("doc_id"), F.lit(31)) == 0)
+        lined.filter(did % 13 == 2)
         .select(F.md5(F.col("text")).alias("content_hash"))
         .distinct()
     )
-    ev = d.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0).select(
+    ev = load(spark, sf_dir, "documents").filter(did % 9 == 1).select(
         F.col("doc_id").alias("eval_id"), "text"
     )
     res = curate(
         corpus,
         eval_docs=ev,
         seen_hashes=hist,
+        url_col="url",
+        line_rules=True,
+        line_dedup=True,
+        boilerplate_min_docs=3,
+        pii=True,
         near_dup="jaccard",
         near_dup_threshold=0.7,
+        retention_quality_col="n_chars",
         span_dedup=16,
         decon_min_overlap=8,
         quota=7,
@@ -2104,7 +2184,7 @@ def q_curate_pipeline(spark, sf_dir):
         capacity=256,
         pack_buckets=8,
     )
-    # materialize the tiny 9-row audit eagerly so the persisted corpus
+    # materialize the tiny 14-row audit eagerly so the persisted corpus
     # intermediates can be released here (a lazy return would pin them in
     # the cache manager for the session)
     out = res.stage_counts.orderBy("stage_idx").localCheckpoint(eager=True)
@@ -2112,22 +2192,129 @@ def q_curate_pipeline(spark, sf_dir):
     return out
 
 
-ORACLE_CURATE = """
-WITH RECURSIVE corpus AS (
-  SELECT * FROM documents WHERE doc_id % 31 <> 0
+# NOTE: AS MATERIALIZED on every multi-referenced CTE is load-bearing —
+# DuckDB inlines plain CTEs per reference, and this chain is deep enough
+# that inlining goes exponential (measured: >180 s inlined, 2.7 s
+# materialized at sf0.01). The recursive `reach` member must stay plain.
+ORACLE_CURATE = r"""
+WITH RECURSIVE lined AS MATERIALIZED (
+  SELECT doc_id, lang, source, n_chars,
+    'https://' || source || '.example.nl'
+      || repeat('/s' || (doc_id % 3)::VARCHAR, (doc_id % 12)::INT)
+      || CASE WHEN doc_id % 5 = 0 THEN '/d12345678901234567890' ELSE '' END
+      || CASE WHEN doc_id % 97 = 3 THEN '/xxx' ELSE '' END
+      || CASE WHEN doc_id % 7 > 0
+              THEN '?' || substr(repeat('&k=v', (doc_id % 7)::INT), 2)
+              ELSE '' END AS url,
+    concat_ws(chr(10),
+      substr(t, 1, 60) || '.',
+      '(c) nlnieuws all rights reserved.',
+      'Please enable JavaScript to continue.',
+      substr(t, 1, 60) || '.',
+      substr(t, 61, 50) || ' en zo.',
+      substr(t, 111, 60)
+        || CASE WHEN doc_id % 3 = 0
+                THEN ' mail user' || doc_id || '@example.com nu' ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' via 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
+                ELSE '' END
+        || ' einde?'
+        || CASE WHEN doc_id % 23 = 0 THEN ' lorem ipsum' ELSE '' END) AS text
+  FROM (SELECT *, CASE WHEN doc_id % 41 = 0
+                       THEN 'het vaste sjabloon artikel over spark rijen en kolommen met een lange vaste tekst die in alle gespiegelde paginas identiek is zodat exacte duplicaten ontstaan na het schonen van de regels'
+                       ELSE text END AS t
+        FROM documents)
 ),
-hist AS (
-  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 31 = 0
+corpus AS MATERIALIZED (SELECT * FROM lined WHERE doc_id % 31 <> 0),
+hist AS MATERIALIZED (
+  SELECT DISTINCT md5(text) AS h FROM lined WHERE doc_id % 13 = 2
 ),
-tokf AS (
-  SELECT doc_id,
-    CASE WHEN len(trim(text)) > 0
-         THEN string_split_regex(trim(lower(text)),'\\s+')
-         ELSE []::VARCHAR[] END AS toks,
-    len(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) AS chars
+uf AS MATERIALIZED (
+  SELECT doc_id, url,
+    regexp_extract(substr(url, length('https://' || source || '.example.nl') + 1),
+                   '^([^?]*)', 1) AS path,
+    CASE WHEN strpos(url, '?') > 0
+         THEN substr(url, strpos(url, '?') + 1) ELSE '' END AS q
   FROM corpus
 ),
-gq AS (
+ug AS MATERIALIZED (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+      len(list_filter(string_split(path, '/'), x -> x <> ''))::BIGINT AS depth,
+      (CASE WHEN q = '' THEN 0
+            ELSE len(list_filter(string_split(q, '&'), x -> x <> '')) END
+      )::BIGINT AS n_params,
+      CASE WHEN length(path) = 0 THEN 0.0::DOUBLE
+           ELSE round((length(path)
+                       - length(regexp_replace(path, '[0-9]', '', 'g'))
+                      )::DOUBLE / length(path), 6) END AS digit_ratio,
+      length(url)::BIGINT AS n_chars,
+      list_has_any(
+        list_transform(list_filter(string_split(path, '/'), x -> x <> ''),
+                       x -> lower(x)),
+        ['xxx', 'porn', 'adult', 'casino', 'viagra']) AS blocked
+    FROM uf
+  ) WHERE depth <= 8 AND n_params <= 4 AND digit_ratio <= 0.5
+        AND n_chars <= 512 AND NOT blocked
+),
+urld AS MATERIALIZED (SELECT c.* FROM corpus c JOIN ug USING (doc_id)),
+incd AS MATERIALIZED (
+  SELECT * FROM urld WHERE md5(text) NOT IN (SELECT h FROM hist)
+),
+lrk AS MATERIALIZED (
+  SELECT doc_id, lang, source, n_chars,
+    list_filter(string_split(text, chr(10)), x ->
+      regexp_matches(x, '[.!?"]$')
+      AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 5
+      AND NOT contains(lower(x), 'javascript')) AS kept,
+    (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS dp
+  FROM incd
+),
+lrd AS MATERIALIZED (
+  SELECT doc_id, lang, source, n_chars,
+         array_to_string(kept, chr(10)) AS text
+  FROM lrk WHERE NOT dp AND len(kept) > 0
+),
+ldd AS MATERIALIZED (
+  SELECT doc_id, lang, source, n_chars,
+    array_to_string(list_filter(ls, (x, i) -> list_position(ls, x) = i),
+                    chr(10)) AS text
+  FROM (SELECT doc_id, lang, source, n_chars,
+               string_split(text, chr(10)) AS ls FROM lrd)
+),
+bl AS MATERIALIZED (
+  SELECT d.doc_id, d.source, u.line
+  FROM ldd d, unnest(string_split(d.text, chr(10))) AS u(line)
+),
+boil AS MATERIALIZED (
+  SELECT source, line FROM bl WHERE line <> ''
+  GROUP BY source, line HAVING count(DISTINCT doc_id) >= 3
+),
+ba AS MATERIALIZED (SELECT source, list(line) AS arr FROM boil GROUP BY source),
+bod AS MATERIALIZED (
+  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+    array_to_string(list_filter(string_split(d.text, chr(10)),
+      x -> NOT list_contains(coalesce(ba.arr, []::VARCHAR[]), x)),
+      chr(10)) AS text
+  FROM ldd d LEFT JOIN ba ON d.source = ba.source
+),
+piid AS MATERIALIZED (
+  SELECT doc_id, lang, source, n_chars,
+    regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+      '\+[0-9]{1,3}[ -][0-9]{1,3}[ -][0-9]{6,9}\b', '<PHONE>', 'g') AS text
+  FROM bod
+),
+tokf AS MATERIALIZED (
+  SELECT doc_id,
+    CASE WHEN len(trim(text)) > 0
+         THEN string_split_regex(trim(lower(text)),'\s+')
+         ELSE []::VARCHAR[] END AS toks,
+    len(regexp_replace(trim(lower(text)), '\s+', '', 'g')) AS chars
+  FROM piid
+),
+gq AS MATERIALIZED (
   SELECT doc_id FROM (
     SELECT doc_id, len(toks) AS n,
       CASE WHEN len(toks) > 0 THEN round(chars::DOUBLE / len(toks), 4)
@@ -2141,20 +2328,21 @@ gq AS (
   ) WHERE n >= 10 AND n <= 100000 AND mwl >= 2.0 AND mwl <= 12.0
         AND sh >= 2 AND dr >= 0.1
 ),
-qd AS (SELECT c.* FROM corpus c JOIN gq USING (doc_id)),
-exk AS (SELECT min(doc_id) AS doc_id FROM qd GROUP BY md5(text)),
-exd AS (SELECT q.* FROM qd q JOIN exk USING (doc_id)),
-incd AS (SELECT * FROM exd WHERE md5(text) NOT IN (SELECT h FROM hist)),
-g AS (
+qd AS MATERIALIZED (SELECT p.* FROM piid p JOIN gq USING (doc_id)),
+exk AS MATERIALIZED (
+  SELECT min(doc_id) AS doc_id FROM qd GROUP BY md5(text)
+),
+exd AS MATERIALIZED (SELECT q.* FROM qd q JOIN exk USING (doc_id)),
+g AS MATERIALIZED (
   SELECT doc_id, lang,
     list_distinct(list_transform(
-      range(1, greatest(len(string_split_regex(trim(lower(text)),'\\s+'))-2,0)+1),
-      i -> string_split_regex(trim(lower(text)),'\\s+')[i] || ' ' ||
-           string_split_regex(trim(lower(text)),'\\s+')[i+1] || ' ' ||
-           string_split_regex(trim(lower(text)),'\\s+')[i+2])) AS grams
-  FROM incd
+      range(1, greatest(len(string_split_regex(trim(lower(text)),'\s+'))-2,0)+1),
+      i -> string_split_regex(trim(lower(text)),'\s+')[i] || ' ' ||
+           string_split_regex(trim(lower(text)),'\s+')[i+1] || ' ' ||
+           string_split_regex(trim(lower(text)),'\s+')[i+2])) AS grams
+  FROM exd
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT doc_a, doc_b FROM (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(len(list_filter(a.grams, x -> list_contains(b.grams, x)))::DOUBLE /
@@ -2163,7 +2351,7 @@ pairs AS (
     FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
   ) WHERE jacc >= 0.7
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
   SELECT doc_b, doc_a FROM pairs
@@ -2173,62 +2361,73 @@ reach(src, dst) AS (
   UNION
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
 ),
-comp AS (
+comp AS MATERIALIZED (
   SELECT src AS doc_id, least(src, min(dst)) AS component
   FROM reach GROUP BY src
 ),
-keepd AS (
-  SELECT i.* FROM incd i LEFT JOIN comp c USING (doc_id)
-  WHERE coalesce(c.component, i.doc_id) = i.doc_id
+w AS MATERIALIZED (
+  -- keep-the-BEST representative: longest doc (n_chars), ties to min id
+  SELECT component, doc_id AS winner FROM (
+    SELECT c.component, c.doc_id,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY d2.n_chars DESC, c.doc_id) AS rn
+    FROM comp c JOIN exd d2 USING (doc_id)
+  ) WHERE rn = 1
 ),
-sps AS (
+keepd AS MATERIALIZED (
+  SELECT e.* FROM exd e
+  LEFT JOIN comp c USING (doc_id)
+  LEFT JOIN w ON c.component = w.component
+  WHERE c.component IS NULL OR e.doc_id = w.winner
+),
+sps AS MATERIALIZED (
   SELECT doc_id, ord AS span_idx,
          array_to_string(list_slice(toks, ord*16+1, ord*16+16), ' ') AS span
   FROM (SELECT doc_id, toks,
                unnest(range(0, ((len(toks)-1)//16)+1)) AS ord
         FROM (SELECT doc_id,
-                     string_split_regex(trim(lower(text)),'\\s+') AS toks
+                     string_split_regex(trim(lower(text)),'\s+') AS toks
               FROM keepd))
 ),
-spk AS (
+spk AS MATERIALIZED (
   SELECT doc_id, span_idx, span FROM sps
   QUALIFY row_number() OVER (PARTITION BY span
                              ORDER BY doc_id, span_idx) = 1
 ),
-spd AS (
+spd AS MATERIALIZED (
   SELECT k.doc_id, string_agg(s.span, ' ' ORDER BY s.span_idx) AS text,
          k.source, k.lang
   FROM keepd k JOIN spk s USING (doc_id)
   GROUP BY k.doc_id, k.source, k.lang
 ),
-evg AS (
+evg AS MATERIALIZED (
   SELECT doc_id AS eval_id,
     list_distinct(list_transform(
-      range(1, greatest(len(string_split_regex(trim(lower(text)),'\\s+'))-2,0)+1),
-      i -> string_split_regex(trim(lower(text)),'\\s+')[i] || ' ' ||
-           string_split_regex(trim(lower(text)),'\\s+')[i+1] || ' ' ||
-           string_split_regex(trim(lower(text)),'\\s+')[i+2])) AS egrams
-  FROM documents WHERE doc_id % 97 = 0
+      range(1, greatest(len(string_split_regex(trim(lower(text)),'\s+'))-2,0)+1),
+      i -> string_split_regex(trim(lower(text)),'\s+')[i] || ' ' ||
+           string_split_regex(trim(lower(text)),'\s+')[i+1] || ' ' ||
+           string_split_regex(trim(lower(text)),'\s+')[i+2])) AS egrams
+  FROM documents WHERE doc_id % 9 = 1
 ),
-kg AS (
+kg AS MATERIALIZED (
   SELECT doc_id,
     list_distinct(list_transform(
-      range(1, greatest(len(string_split_regex(trim(lower(text)),'\\s+'))-2,0)+1),
-      i -> string_split_regex(trim(lower(text)),'\\s+')[i] || ' ' ||
-           string_split_regex(trim(lower(text)),'\\s+')[i+1] || ' ' ||
-           string_split_regex(trim(lower(text)),'\\s+')[i+2])) AS grams
+      range(1, greatest(len(string_split_regex(trim(lower(text)),'\s+'))-2,0)+1),
+      i -> string_split_regex(trim(lower(text)),'\s+')[i] || ' ' ||
+           string_split_regex(trim(lower(text)),'\s+')[i+1] || ' ' ||
+           string_split_regex(trim(lower(text)),'\s+')[i+2])) AS grams
   FROM spd
 ),
-contaminated AS (
+contaminated AS MATERIALIZED (
   SELECT DISTINCT k.doc_id
   FROM kg k, evg e
   WHERE len(list_filter(k.grams, x -> list_contains(e.egrams, x))) >= 8
 ),
-decd AS (
+decd AS MATERIALIZED (
   SELECT * FROM spd
   WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 ),
-samp AS (
+samp AS MATERIALIZED (
   SELECT doc_id FROM (
     SELECT doc_id, row_number() OVER (PARTITION BY source
                      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rnk
@@ -2238,14 +2437,19 @@ samp AS (
 SELECT stage_idx::INT AS stage_idx, stage, rows_kept::BIGINT AS rows_kept
 FROM (
   SELECT 0 AS stage_idx, 'input' AS stage, count(*) AS rows_kept FROM corpus
-  UNION ALL SELECT 1, 'quality', count(*) FROM qd
-  UNION ALL SELECT 2, 'exact', count(*) FROM exd
-  UNION ALL SELECT 3, 'incremental', count(*) FROM incd
-  UNION ALL SELECT 4, 'near_dup', count(*) FROM keepd
-  UNION ALL SELECT 5, 'span_dedup', count(*) FROM spd
-  UNION ALL SELECT 6, 'decontaminated', count(*) FROM decd
-  UNION ALL SELECT 7, 'sampled', count(*) FROM samp
-  UNION ALL SELECT 8, 'packed', count(*) FROM samp
+  UNION ALL SELECT 1, 'url_gate', count(*) FROM urld
+  UNION ALL SELECT 2, 'incremental', count(*) FROM incd
+  UNION ALL SELECT 3, 'line_rules', count(*) FROM lrd
+  UNION ALL SELECT 4, 'line_dedup', count(*) FROM ldd
+  UNION ALL SELECT 5, 'boilerplate', count(*) FROM bod
+  UNION ALL SELECT 6, 'pii', count(*) FROM piid
+  UNION ALL SELECT 7, 'quality', count(*) FROM qd
+  UNION ALL SELECT 8, 'exact', count(*) FROM exd
+  UNION ALL SELECT 9, 'near_dup', count(*) FROM keepd
+  UNION ALL SELECT 10, 'span_dedup', count(*) FROM spd
+  UNION ALL SELECT 11, 'decontaminated', count(*) FROM decd
+  UNION ALL SELECT 12, 'sampled', count(*) FROM samp
+  UNION ALL SELECT 13, 'packed', count(*) FROM samp
 ) ORDER BY stage_idx
 """
 
@@ -4193,6 +4397,104 @@ FROM rk CROSS JOIN lo ORDER BY rk.host
 """
 
 
+def q_shard_pack(spark, sf_dir):
+    """Contiguous token-budget training shards over the corpus: the
+    md5-ordered manifest with an EXACT corpus-wide token prefix sum,
+    computed by the range-partitioned parallel scan (global_running_sum)
+    instead of a single-task SUM() OVER (ORDER BY ...) window
+    (operators/sampling.py:shard_pack, operators/sequence.py)."""
+    from nlnieuwscrawler_spark.functions.text import token_count_ws
+    from nlnieuwscrawler_spark.operators.sampling import shard_pack
+
+    d = load(spark, sf_dir, "documents")
+    src = d.select("doc_id", token_count_ws(F.col("text")).alias("n_tokens"))
+    return shard_pack(src, shard_tokens=2000).orderBy("doc_id")
+
+
+ORACLE_SHARD_PACK = r"""
+WITH n AS (
+  SELECT doc_id,
+    CASE WHEN len(trim(text)) > 0
+         THEN len(string_split_regex(trim(text), '\s+')) ELSE 0 END AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY md5(doc_id::VARCHAR), doc_id
+                             ROWS UNBOUNDED PRECEDING) AS running
+  FROM n
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens, running::BIGINT AS running,
+       ((running - n_tokens) // 2000)::BIGINT AS shard_id,
+       ((running - n_tokens) % 2000)::BIGINT AS shard_pos
+FROM s ORDER BY doc_id
+"""
+
+
+def q_host_dup_ratio(spark, sf_dir):
+    """Per-host exact-duplicate mass (crawl-budget signal): every 7th doc
+    is re-crawled into its own source, so each host shows a non-trivial
+    dup_ratio at every SF (operators/dedup.py:host_dup_stats)."""
+    from nlnieuwscrawler_spark.operators.dedup import host_dup_stats
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.select("source", "text").unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select("source", "text")
+    )
+    return host_dup_stats(corpus).orderBy("host")
+
+
+ORACLE_HOST_DUP_RATIO = """
+WITH c AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT source, text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT source AS host, count(*)::BIGINT AS n_docs,
+       count(DISTINCT md5(text))::BIGINT AS n_unique,
+       (count(*) - count(DISTINCT md5(text)))::BIGINT AS n_dup,
+       round((count(*) - count(DISTINCT md5(text)))::DOUBLE / count(*), 6)
+         AS dup_ratio
+FROM c GROUP BY source ORDER BY host
+"""
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc n-gram novelty: the share of a doc's distinct 3-grams
+    first seen (min doc id) in that doc — the soft 'how much new text
+    does this page add' signal next to hard span dedup
+    (functions/text.py:ngram_novelty)."""
+    from nlnieuwscrawler_spark.functions.text import ngram_novelty
+
+    d = load(spark, sf_dir, "documents")
+    return ngram_novelty(d).orderBy("doc_id")
+
+
+ORACLE_NGRAM_NOVELTY = r"""
+WITH g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(len(string_split_regex(trim(lower(text)),'\s+'))-2,0)+1),
+      i -> string_split_regex(trim(lower(text)),'\s+')[i] || ' ' ||
+           string_split_regex(trim(lower(text)),'\s+')[i+1] || ' ' ||
+           string_split_regex(trim(lower(text)),'\s+')[i+2])) AS grams
+  FROM documents
+),
+p AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+f AS (SELECT gram, min(doc_id) AS first FROM p GROUP BY gram),
+pd AS (
+  SELECT p.doc_id, count(*) AS n_grams,
+         sum((f.first = p.doc_id)::INT) AS n_novel
+  FROM p JOIN f USING (gram) GROUP BY p.doc_id
+)
+SELECT g.doc_id, coalesce(pd.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(pd.n_novel, 0)::BIGINT AS n_novel,
+       CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 1.0
+            ELSE round(pd.n_novel::DOUBLE / pd.n_grams, 6) END AS novelty
+FROM g LEFT JOIN pd USING (doc_id) ORDER BY g.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4252,6 +4554,9 @@ FROM rk CROSS JOIN lo ORDER BY rk.host
 #   curation: boilerplate ..... boilerplate_scrub (cross-doc), dedup_lines (intra-doc)
 #   crawl scheduling .......... recrawl_schedule, snapshot_delta
 #   crawl budget composite .... plan_crawl (pagerank × change × quality)
+#   crawl health: dup mass .... host_dup_ratio (per-host exact-dup rollup)
+#   curation: shard manifest .. shard_pack (parallel prefix-sum sharding)
+#   curation: novelty ......... ngram_novelty (first-occurrence scoring)
 #   crawl pipeline (O1-O20) ... crawl_epoch
 #
 # Registry ORDER is graded surface area, not cosmetics:
@@ -4345,8 +4650,76 @@ FROM rk CROSS JOIN lo ORDER BY rk.host
 #     driver-graded inside curate_pipeline's composed oracle, and
 #     select_top_percent + importance_sample keep the sampling
 #     category in-window).
-#     Round 6 should cycle the 47 currently-out queries back in.
+#   * Round-6 rotation (VERDICT r5 #1): the FULL swap — all 47 queries
+#     that sat outside the r5 window move back IN (every one was
+#     driver-graded green in earlier rounds and judge-verified MATCH in
+#     r5), and all 50 r5-graded queries move OUT (CORRECTNESS_r05 is
+#     their full-green record). The 3 remaining window seats go to the
+#     r6 newcomers, in-window from birth per policy: shard_pack
+#     (token-budget training shards via the parallel prefix-sum
+#     primitive global_running_sum), host_dup_ratio (per-host exact-dup
+#     mass, the crawl-budget collapse signal), ngram_novelty
+#     (first-occurrence novelty scoring). With 100 oracled queries and
+#     a 50-row window, full coverage now takes exactly two rounds:
+#     r7 should swap the halves again (r5-graded set back in, r6 set
+#     out) unless newcomers displace seats.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- positions 1-50: THE r6 DRIVER WINDOW — 3 newcomers first,
+    # then ALL 47 queries that sat outside the r5 window (rotation
+    # policy above; zero r5-graded queries remain in-window)
+    "shard_pack": q_shard_pack,
+    "host_dup_ratio": q_host_dup_ratio,
+    "ngram_novelty": q_ngram_novelty,
+    "stratified_sample": q_stratified_sample,
+    "decontaminate": q_decontaminate,
+    "bm25_search": q_bm25_search,
+    "dedup_components": q_dedup_components,
+    "stateful_budget": q_stateful_budget,
+    "stream_dedup_users": q_stream_dedup_users,
+    "frame_sample": q_frame_sample,
+    "ann_bruteforce": q_ann_bruteforce,
+    "train_test_split": q_train_test_split,
+    "lang_id": q_lang_id,
+    "asof_join_left": q_asof_join_left,
+    "dedup_exact": q_dedup_exact,
+    "session_stats": q_session_stats,
+    "asof_latest_event": q_asof_latest_event,
+    "range_join": q_range_join,
+    "udtf_tokens": q_udtf_tokens,
+    "stream_hourly": q_stream_hourly,
+    "top_revenue_orders": q_top_revenue_orders,
+    "region_revenue": q_region_revenue,
+    "window_topk_per_customer": q_window_topk_per_customer,
+    "semi_anti_join": q_semi_anti_join,
+    "set_ops": q_set_ops,
+    "grouping_sets": q_grouping_sets,
+    "variant_props": q_variant_props,
+    "rollup_metrics": q_rollup_metrics,
+    "correlated_above_avg": q_correlated_above_avg,
+    "exists_parts": q_exists_parts,
+    "percent_rank_cume": q_percent_rank_cume,
+    "unpivot": q_unpivot,
+    "window_running": q_window_running,
+    "hourly_events": q_hourly_events,
+    "json_props": q_json_props,
+    "pivot_status": q_pivot_status,
+    "left_outer_join": q_left_outer_join,
+    "percentiles": q_percentiles,
+    "ntile_buckets": q_ntile_buckets,
+    "map_props": q_map_props,
+    "string_funcs": q_string_funcs,
+    "union_all": q_union_all,
+    "orders_per_year": q_orders_per_year,
+    "array_stats": q_array_stats,
+    "range_frame": q_range_frame,
+    "text_quality": q_text_quality,
+    "token_stats": q_token_stats,
+    "lang_gate": q_lang_gate,
+    "sliding_window": q_sliding_window,
+    "quality_scores": q_quality_scores,
+    # --- positions 51+: oracle-backed, graded by the driver in r5
+    # (CORRECTNESS_r05 full-green); re-verified every session by
+    # /verify and pytest
     "pricing_summary": q_pricing_summary,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup": q_semdedup,
@@ -4397,55 +4770,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "tfidf_topk": q_tfidf_topk,
     "pmi_bigrams": q_pmi_bigrams,
-    # --- positions 51+: oracle-backed but outside the driver's 50-entry
-    # window this round (rotation policy above)
-    "stratified_sample": q_stratified_sample,
-    "decontaminate": q_decontaminate,
-    "bm25_search": q_bm25_search,
-    "dedup_components": q_dedup_components,
-    "stateful_budget": q_stateful_budget,
-    "stream_dedup_users": q_stream_dedup_users,
-    "frame_sample": q_frame_sample,
-    "ann_bruteforce": q_ann_bruteforce,
-    "train_test_split": q_train_test_split,
-    "lang_id": q_lang_id,
-    "asof_join_left": q_asof_join_left,
-    "dedup_exact": q_dedup_exact,
-    "session_stats": q_session_stats,
-    "asof_latest_event": q_asof_latest_event,
-    "range_join": q_range_join,
-    "udtf_tokens": q_udtf_tokens,
-    "stream_hourly": q_stream_hourly,
-    "top_revenue_orders": q_top_revenue_orders,
-    "region_revenue": q_region_revenue,
-    "window_topk_per_customer": q_window_topk_per_customer,
-    "semi_anti_join": q_semi_anti_join,
-    "set_ops": q_set_ops,
-    "grouping_sets": q_grouping_sets,
-    "variant_props": q_variant_props,
-    "rollup_metrics": q_rollup_metrics,
-    "correlated_above_avg": q_correlated_above_avg,
-    "exists_parts": q_exists_parts,
-    "percent_rank_cume": q_percent_rank_cume,
-    "unpivot": q_unpivot,
-    "window_running": q_window_running,
-    "hourly_events": q_hourly_events,
-    "json_props": q_json_props,
-    "pivot_status": q_pivot_status,
-    "left_outer_join": q_left_outer_join,
-    "percentiles": q_percentiles,
-    "ntile_buckets": q_ntile_buckets,
-    "map_props": q_map_props,
-    "string_funcs": q_string_funcs,
-    "union_all": q_union_all,
-    "orders_per_year": q_orders_per_year,
-    "array_stats": q_array_stats,
-    "range_frame": q_range_frame,
-    "text_quality": q_text_quality,
-    "token_stats": q_token_stats,
-    "lang_gate": q_lang_gate,
-    "sliding_window": q_sliding_window,
-    "quality_scores": q_quality_scores,
     # --- NO_ORACLE (rows-only) entries LAST (see window policy above)
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -4468,6 +4792,9 @@ NO_ORACLE = {
 }
 
 ORACLE: dict[str, str] = {
+    "shard_pack": ORACLE_SHARD_PACK,
+    "host_dup_ratio": ORACLE_HOST_DUP_RATIO,
+    "ngram_novelty": ORACLE_NGRAM_NOVELTY,
     "pricing_summary": ORACLE_PRICING,
     "top_revenue_orders": ORACLE_TOP_REVENUE,
     "region_revenue": ORACLE_REGION_REVENUE,

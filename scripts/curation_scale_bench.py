@@ -607,6 +607,102 @@ def main() -> None:
         lambda: semdedup(sd_vecs, k=sd_k, iters=2, threshold=0.95))
     run("snapshot_delta", snapshot_delta(obs), checksum=True)
 
+    # r6 ops: the parallel prefix-sum shard manifest (range shuffle of the
+    # narrow (ord, id, n) projection + |partitions|-row offset collect),
+    # per-host dup-mass rollup (one two-phase agg over (host, md5)), and
+    # first-occurrence novelty (gram explode → min-agg → gram-keyed join;
+    # the soup's 64k-trigram universe makes the gram table broadcast-size,
+    # the exploded pair table carries the real volume)
+    from nlnieuwscrawler_spark.functions.text import ngram_novelty
+    from nlnieuwscrawler_spark.operators.dedup import host_dup_stats
+    from nlnieuwscrawler_spark.operators.sampling import shard_pack
+
+    tok_docs = docs.select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    run("shard_pack", lambda: shard_pack(tok_docs, shard_tokens=100_000),
+        checksum=True)
+    run("host_dup_ratio", host_dup_stats(mh_corpus, host_col="host"),
+        checksum=True)
+    run("ngram_novelty", ngram_novelty(docs), checksum=True)
+
+    # r6 composite: curate() with EVERY stage armed — URL gate, recrawl
+    # incremental (raw page-hash history = the %13 slice of the same
+    # synthesized pages), C4 line rules, intra-doc line dedup, cross-doc
+    # boilerplate, PII scrub, Gopher, exact, minhash near-dup with
+    # keep-the-best retention, decontamination, sampling, packing. The
+    # page layout mirrors the registry composite (multi-line chrome +
+    # planted email tails); qlen is the retention quality column.
+    did = F.col("doc_id")
+    page_docs = docs.select(
+        "doc_id", "lang", "source",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.nl"),
+            F.expr("repeat(concat('/s', cast(doc_id % 3 as string)),"
+                   " cast(doc_id % 12 as int))"),
+            F.when(did % 5 == 0,
+                   F.lit("/d12345678901234567890")).otherwise(F.lit("")),
+            F.when(did % 7 > 0,
+                   F.concat(F.lit("?"), F.expr(
+                       "substring(repeat('&k=v', cast(doc_id % 7 as int)), 2)"
+                   ))).otherwise(F.lit("")),
+        ).alias("url"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.substring("text", 1, 60), F.lit(".")),
+            F.concat(F.lit("(c) "), F.col("source"),
+                     F.lit(" all rights reserved.")),
+            F.lit("Please enable JavaScript to continue."),
+            F.concat(F.substring("text", 1, 60), F.lit(".")),
+            F.concat(F.substring("text", 61, 50), F.lit(" en zo.")),
+            F.concat(
+                F.substring("text", 111, 60),
+                F.when(did % 3 == 0,
+                       F.concat(F.lit(" mail user"), did.cast("string"),
+                                F.lit("@example.com nu"))).otherwise(F.lit("")),
+                F.lit(" einde?"),
+            ),
+        ).alias("text"),
+        F.length("text").cast("long").alias("qlen"),
+    )
+    ppath = f"/tmp/nlnc_curation_pages_{n_docs}"
+    if not os.path.exists(os.path.join(ppath, "_SUCCESS")):
+        page_docs.write.mode("overwrite").parquet(ppath)
+    page_docs = spark.read.parquet(ppath)
+    page_seen = (
+        page_docs.filter(F.pmod(did, F.lit(13)) == 2)
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+    )
+    t0 = time.perf_counter()
+    res_full = curate(
+        page_docs,
+        eval_docs=ev,
+        seen_hashes=page_seen,
+        url_col="url",
+        line_rules=True,
+        line_dedup=True,
+        boilerplate_min_docs=3,
+        pii=True,
+        near_dup="minhash",
+        near_dup_threshold=0.7,
+        retention_quality_col="qlen",
+        quota=1000,
+        salt=16,
+        capacity=2048,
+        pack_buckets=512,
+    )
+    audit_full = {
+        r["stage"]: r["rows_kept"]
+        for r in res_full.stage_counts.orderBy("stage_idx").collect()
+    }
+    n_packed_full = res_full.packed.count()
+    timings["curate_composite_full"] = round(time.perf_counter() - t0, 2)
+    res_full.unpersist()
+    print(json.dumps({"op": "curate_composite_full", "rows": n_packed_full,
+                      "sec": timings["curate_composite_full"],
+                      "audit": audit_full}))
+
     print(json.dumps({"n_docs": n_docs, "n_vecs": n_vecs, "cores": cores,
                       "timings": timings}))
 

@@ -160,8 +160,9 @@ def test_curate_composite_stage_audit(spark):
     assert [r["stage"] for r in
             res.stage_counts.orderBy("stage_idx").collect()] == STAGES
     assert counts == {
-        "input": 8, "quality": 7, "exact": 6, "incremental": 5,
-        "near_dup": 4, "span_dedup": 4, "decontaminated": 3,
+        "input": 8, "url_gate": 8, "incremental": 7, "line_rules": 7,
+        "line_dedup": 7, "boilerplate": 7, "pii": 7, "quality": 6,
+        "exact": 5, "near_dup": 4, "span_dedup": 4, "decontaminated": 3,
         "sampled": 3, "packed": 3,
     }, counts
     kept = {r["doc_id"] for r in res.curated.collect()}
@@ -186,8 +187,98 @@ def test_curate_minhash_and_none_modes(spark):
     res2 = curate(docs, eval_docs=ev, seen_hashes=hist, near_dup=None,
                   quota=10, salt=2)
     counts2 = {r["stage"]: r["rows_kept"] for r in res2.stage_counts.collect()}
-    assert counts2["near_dup"] == counts2["incremental"] == 5
+    assert counts2["near_dup"] == counts2["exact"] == 5
     res2.unpersist()
+
+
+def test_curate_ingest_and_rewrite_stages(spark):
+    """The r6 ingest + rewrite stages end-to-end: URL gate drops a deep
+    URL, C4 line rules drop an unpunctuated page and a lorem-ipsum page,
+    intra-doc line dedup removes a repeated line, boilerplate scrub
+    removes the shared footer, PII scrub redacts a planted email — and
+    the audit attributes each drop to the right stage."""
+    from nlnieuwscrawler_spark.operators.curate import curate
+
+    line1 = {
+        1: "the cat sat on a mat and looked far away.",
+        2: "the dog ran over a hill and came back home.",
+        3: "the bird flew past a tree and sang all day.",
+    }
+    footer = "(c) web footer all rights reserved."
+    js = "Please enable JavaScript to continue."
+    # unique per doc — an identical mail line across >=3 docs would be
+    # (correctly) scrubbed as boilerplate chrome
+    mail = {
+        i: f"mail me at bob{i}@example.com for the full data set please ok."
+        for i in (1, 2, 3, 4)
+    }
+    rows = [
+        (i, "https://example.nl/a/b",
+         "\n".join([line1[i], js, line1[i], footer, mail[i]]), "nl", "web")
+        for i in (1, 2, 3)
+    ] + [
+        # deep URL (9 path segments > max_depth 8) -> url_gate drop
+        (4, "https://example.nl" + "/s" * 9,
+         "\n".join([line1[1], footer, mail[4]]), "nl", "web"),
+        # no line ends in terminal punctuation -> line_rules empties it
+        (5, "https://example.nl/a",
+         "just some words without any punctuation at all here", "nl", "web"),
+        # lorem ipsum page flag -> line_rules drops the whole page
+        (6, "https://example.nl/b",
+         "a fine sentence with many good words here lorem ipsum ok.",
+         "nl", "web"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, text string, lang string, source string"
+    )
+    res = curate(
+        docs,
+        url_col="url",
+        line_rules=True,
+        line_dedup=True,
+        boilerplate_min_docs=3,
+        pii=True,
+        near_dup=None,
+        quota=10,
+        salt=2,
+    )
+    counts = {r["stage"]: r["rows_kept"] for r in res.stage_counts.collect()}
+    assert counts == {
+        "input": 6, "url_gate": 5, "incremental": 5, "line_rules": 3,
+        "line_dedup": 3, "boilerplate": 3, "pii": 3, "quality": 3,
+        "exact": 3, "near_dup": 3, "span_dedup": 3, "decontaminated": 3,
+        "sampled": 3, "packed": 3,
+    }, counts
+    texts = {r["doc_id"]: r["text"] for r in res.curated.collect()}
+    # js banner gone (c4), duplicate line1 gone (line_dedup), footer gone
+    # (boilerplate), email redacted (pii)
+    assert texts[1] == (
+        line1[1] + "\nmail me at <EMAIL> for the full data set please ok."
+    )
+    res.unpersist()
+
+
+def test_curate_retention_quality_col_keeps_best(spark):
+    """retention_quality_col switches near-dup retention to keep-the-best
+    (FineWeb): the LONGER near-dup wins instead of the min id."""
+    from nlnieuwscrawler_spark.operators.curate import curate
+
+    docs, hist, ev = _curate_corpus(spark)
+    docs = docs.withColumn("qlen", F.length("text"))
+    res = curate(
+        docs,
+        eval_docs=ev,
+        seen_hashes=hist,
+        near_dup="jaccard",
+        near_dup_threshold=0.7,
+        retention_quality_col="qlen",
+        quota=10,
+        salt=2,
+    )
+    kept = {r["doc_id"] for r in res.curated.collect()}
+    # doc 3 ("... tonight") is the longest member of the {1,3} cluster
+    assert kept == {3, 7, 8}
+    res.unpersist()
 
 
 def test_curate_quota_caps_sources(spark):

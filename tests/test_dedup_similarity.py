@@ -43,6 +43,37 @@ def test_minhash_lsh_recall_vs_exact(spark, docs):
     assert lsh <= exact
 
 
+def test_minhash_block_col_matches_blocked_exact(spark, docs):
+    """block_col threads the same blocking contract as
+    ngram_jaccard_pairs: pairs crossing the block must vanish, pairs
+    inside it must keep identical recall (ADVICE r5: both near-dup
+    backends must give curate() the same pair universe)."""
+    exact_blocked = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, block_col="lang", threshold=0.5
+        ).collect()
+    }
+    lsh_blocked = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.5, block_col="lang"
+        ).collect()
+    }
+    assert lsh_blocked <= exact_blocked
+    missed = exact_blocked - lsh_blocked
+    assert not missed, f"blocked LSH missed pairs: {missed}"
+    # and a planted cross-block dup must NOT pair when blocked
+    extra = spark.createDataFrame(
+        [(900001, "x y z " * 30, "nl", "w"), (900002, "x y z " * 30, "fr", "w")],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = dedup.minhash_lsh_pairs(extra, threshold=0.5, block_col="lang")
+    assert got.count() == 0
+    unblocked = dedup.minhash_lsh_pairs(extra, threshold=0.5)
+    assert unblocked.count() == 1
+
+
 def test_minhash_deterministic_across_partitioning(spark, docs):
     one = dedup.minhash_lsh_pairs(docs.repartition(1), threshold=0.1)
     many = dedup.minhash_lsh_pairs(docs.repartition(7), threshold=0.1)

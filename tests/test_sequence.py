@@ -34,6 +34,52 @@ def test_empty_input(spark):
     assert out.count() == 0
 
 
+def test_global_running_sum_matches_window(spark):
+    """Parallel prefix sum ≡ SUM() OVER (ORDER BY …) exactly, any input
+    partitioning."""
+    from nlnieuwscrawler_spark.operators.sequence import global_running_sum
+
+    e = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", (F.col("event_id") % 37).alias("v")
+    )
+    order = [F.col("event_id").asc()]
+    want = e.withColumn(
+        "running",
+        F.sum(F.col("v").cast("long")).over(
+            Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).select("event_id", "running")
+    for parts in (1, 7):
+        got = global_running_sum(
+            e.repartition(parts), order, "v", sum_col="running"
+        ).select("event_id", "running")
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+
+def test_shard_pack_invariants(spark):
+    """Manifest order is the md5 draw; running is the exact inclusive
+    prefix sum; every interior shard's token mass lands in
+    [shard_tokens - max_doc + 1, shard_tokens + max_doc - 1] (a doc
+    straddles at most one boundary)."""
+    from nlnieuwscrawler_spark.functions.text import token_count_ws
+    from nlnieuwscrawler_spark.operators.sampling import shard_pack
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    st = 1500
+    out = shard_pack(d, shard_tokens=st).toPandas()
+    out = out.sort_values("running").reset_index(drop=True)
+    assert (out["running"].diff().dropna() == out["n_tokens"][1:].values).all()
+    assert (out["shard_id"].diff().dropna() >= 0).all()  # contiguous runs
+    assert ((out["running"] - out["n_tokens"]) // st == out["shard_id"]).all()
+    per = out.groupby("shard_id")["n_tokens"].sum()
+    mx = int(out["n_tokens"].max())
+    interior = per.iloc[:-1]  # last shard may be short
+    assert (interior >= st - mx + 1).all() and (interior <= st + mx - 1).all()
+
+
 def test_ntile_from_rank_matches_sql_ntile(spark):
     """Closed-form NTILE ≡ SQL ntile() for awkward N % k remainders."""
     from nlnieuwscrawler_spark.operators.sequence import ntile_from_rank
