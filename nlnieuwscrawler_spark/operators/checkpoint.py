@@ -26,10 +26,24 @@ import uuid
 from pyspark.sql import DataFrame
 
 
-def cut_lineage(df: DataFrame, reliable: bool = False, eager: bool = True) -> DataFrame:
-    """Materialize ``df`` with truncated lineage (see module docstring)."""
+def cut_lineage(
+    df: DataFrame,
+    reliable: bool = False,
+    eager: bool = True,
+    storage_level=None,
+) -> DataFrame:
+    """Materialize ``df`` with truncated lineage (see module docstring).
+
+    ``storage_level`` (local mode only): storage for the checkpoint
+    blocks. Lineage-cut blocks are NOT evictable (there is no plan left
+    to recompute them from), so a large corpus checkpointed at the
+    default MEMORY_AND_DISK pins heap that the unified pool can never
+    reclaim for execution — pass ``StorageLevel.DISK_ONLY`` for
+    corpus-sized cuts so joins downstream keep their execution memory
+    (curate()'s cleaned-corpus cut OOMed the 2M composite before this).
+    """
     if not reliable:
-        return df.localCheckpoint(eager=eager)
+        return df.localCheckpoint(eager=eager, storageLevel=storage_level)
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
         sc.setCheckpointDir(

@@ -247,10 +247,22 @@ def curate(
     # deep enough that Catalyst's recursive tree rendering overflowed the
     # driver stack (StackOverflowError in TreeNode.generateTreeString,
     # reproduced at sf0.01) — and the grading driver's JVM stack size is
-    # not ours to raise, so the plan itself must stay shallow.
+    # not ours to raise, so the plan itself must stay shallow. The cut
+    # stores DISK_ONLY: checkpoint blocks are not evictable (nothing can
+    # recompute them), and a corpus-sized pin at MEMORY_AND_DISK starved
+    # the near-dup verify join of execution memory at the 2M bench leg
+    # (executor OOM, reproduced) — local-disk reads are the cheap,
+    # bounded trade. The URL column is dropped first: the gate consumed
+    # it, nothing downstream reads it.
+    from pyspark import StorageLevel
+
     from nlnieuwscrawler_spark.operators.checkpoint import cut_lineage
 
-    cleaned = cut_lineage(cleaned, reliable)
+    if url_col is not None:
+        cleaned = cleaned.drop(url_col)
+    cleaned = cut_lineage(
+        cleaned, reliable, storage_level=StorageLevel.DISK_ONLY
+    )
 
     # -- 7. quality gates ---------------------------------------------------
     quality_ids = (

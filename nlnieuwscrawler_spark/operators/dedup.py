@@ -578,20 +578,49 @@ def dedup_components(
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-def minhash_signature(grams: Column, num_hashes: int = 32) -> Column:
-    """num_hashes column of min(xxhash64(gram, seed_h)) — native, no UDF.
+def minhash_signatures(
+    g: DataFrame,
+    num_hashes: int = 32,
+    grams_col: str = "grams",
+    key_cols: tuple = ("id",),
+) -> DataFrame:
+    """Per-doc MinHash signature TABLE → key_cols + __h0..__h{k-1}.
 
-    Each hash family member is xxhash64 seeded by a distinct literal; the
-    min over the shingle set is a higher-order array_min(transform(...)).
-    Empty gram sets produce an all-NULL signature — callers must filter
-    size(grams)==0 docs out BEFORE banding (concat_ws skips NULLs, so the
-    empty signature would otherwise put every empty doc into the same ''
-    band key in every band: one hot bucket with O(m²) candidate pairs).
-    :func:`minhash_lsh_pairs` does this.
+    Computed as EXPLODE + one per-seed ``min`` aggregate over plain
+    (non-lambda) expressions; each family member hashes
+    ``gram + "\\x00" + str(h)``. DELIBERATELY NOT a higher-order
+    ``array_min(transform(...))`` column: seeded hashing inside
+    transform() lambdas MIS-EVALUATES on this Spark build —
+    ``xxhash64(lambdavar, lit(h))`` ignores the seed child entirely
+    (the analyzed plan shows ``xxhash64(lambda x, h, 42)`` yet every
+    seed returns one identical number), and even the concat-the-seed
+    lambda form returns DIFFERENT values for the same input on the
+    first vs second invocation in one session (reproduced; the values
+    drift with analyzer state). The first bug silently collapsed the
+    whole family to ONE hash function: bands became b copies of the
+    same key, the LSH S-curve degenerated to P(collision)=j, and any
+    widely-shared low-hash shingle (e.g. a ``<EMAIL>`` redaction gram)
+    put a large corpus fraction into one bucket in EVERY band —
+    O(hot²) candidates, executor OOM at the 2M composite bench leg.
+    Recall tests passed throughout because true near-dups share
+    min-grams even under one hash function; tests/test_hash.py now pins
+    per-seed variation, cross-invocation determinism, and equality with
+    a directly-computed reference.
+
+    Scale shape: the explode emits NARROW (key, gram) rows and every
+    ``min`` is map-side combinable, so the one added shuffle carries
+    |docs|×|grams| short rows partially-aggregated down to |docs| —
+    the honest price of keeping the hash family off the broken lambda
+    path. Callers must filter empty gram sets BEFORE calling (an empty
+    set has no rows here, so it would silently vanish — and its
+    all-NULL signature would otherwise bucket every empty doc together).
     """
-    return F.array(
+    ex = g.select(*key_cols, F.explode(grams_col).alias("__g"))
+    return ex.groupBy(*key_cols).agg(
         *[
-            F.array_min(F.transform(grams, lambda s, h=h: F.xxhash64(s, F.lit(h))))
+            F.min(
+                F.xxhash64(F.concat_ws("\x00", F.col("__g"), F.lit(str(h))))
+            ).alias(f"__h{h}")
             for h in range(num_hashes)
         ]
     )
@@ -628,35 +657,41 @@ def minhash_lsh_pairs(
     base = [F.col(id_col).alias("id"), F.col(text_col)]
     if block_col is not None:
         base.append(F.col(block_col).alias("__blk"))
-    gram_cols = ["id", word_ngrams(F.col(text_col), n).alias("grams")] + (
-        ["__blk"] if block_col is not None else []
-    )
+    blk = ["__blk"] if block_col is not None else []
+    gram_cols = ["id", word_ngrams(F.col(text_col), n).alias("grams")] + blk
     g = (
         _spread(df.select(*base))
         .select(*gram_cols)
         # docs with no n-grams (< n tokens) can never be near-dups of
         # anything (Jaccard 0 by convention); dropping them here also keeps
-        # their all-NULL signatures out of the banding stage, where they
-        # would all collide into one hot '' bucket (O(m²) candidates)
+        # them out of the banding stage entirely
         .filter(F.size("grams") > 0)
-        .withColumn("sig", minhash_signature(F.col("grams"), num_hashes))
-        # persisted: g feeds the banding explode AND both verify join-backs
-        # — uncached, the shingle + 32-seeded-xxhash64 signature pipeline
-        # (the operator's dominant CPU cost) evaluates three times per run
+        # persisted: g feeds the signature explode AND both verify
+        # join-backs — uncached, the tokenize+shingle pipeline (the
+        # operator's dominant CPU cost) evaluates three times per run
         .persist()
     )
-
+    # signature TABLE via explode + per-seed min aggregate — see
+    # minhash_signatures' docstring for why this is NOT a higher-order
+    # array_min(transform(...)) column (seeded hashing inside lambdas
+    # mis-evaluates on this Spark build)
+    # persisted: banded feeds BOTH sides of the bucket self-join —
+    # uncached, the explode+agg signature shuffle would run twice
+    sig = minhash_signatures(
+        g, num_hashes, grams_col="grams", key_cols=tuple(["id"] + blk)
+    ).persist()
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
             F.xxhash64(
-                F.concat_ws(",", *[F.col("sig")[b * r + i] for i in range(r)])
+                F.concat_ws(
+                    ",", *[F.col(f"__h{b * r + i}") for i in range(r)]
+                )
             ).alias("key"),
         )
         for b in range(bands)
     ]
-    blk = ["__blk"] if block_col is not None else []
-    banded = g.select(
+    banded = sig.select(
         "id", F.explode(F.array(*band_cols)).alias("bk"), *blk
     ).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), *blk
@@ -685,6 +720,7 @@ def minhash_lsh_pairs(
         .localCheckpoint(eager=True)
     )
     g.unpersist()
+    sig.unpersist()
     return verified
 
 

@@ -59,3 +59,48 @@ def test_fingerprint_halves_independent(spark):
     )
     n = df.select(url_fingerprint(F.col("u")).alias("fp")).distinct().count()
     assert n == 500_000
+
+
+def test_minhash_signatures_seeded_deterministic_and_independent(spark):
+    """Regression for the seeded-hash-in-lambda evaluation bugs (see
+    minhash_signatures' docstring): ``xxhash64(lambdavar, lit(h))``
+    ignores the seed literal, and even the concat-the-seed lambda form
+    returns DIFFERENT values for the same input across invocations.
+    The signature stage is therefore explode+agg; pin (a) entries VARY
+    across seeds, (b) each entry equals a directly-computed per-string
+    reference, (c) two invocations in one session agree."""
+    from pyspark.sql import functions as F
+
+    from nlnieuwscrawler_spark.operators.dedup import minhash_signatures
+
+    rows = [
+        (1, ["alpha beta gamma", "beta gamma delta", "gamma delta eps"]),
+        (2, ["one two three", "two three four"]),
+        (3, ["mail <EMAIL> nu", "<EMAIL> nu einde?", "a b c"]),
+    ]
+    df = spark.createDataFrame(rows, ["id", "grams"])
+    k = 8
+
+    def sig_map():
+        return {
+            r["id"]: [r[f"__h{h}"] for h in range(k)]
+            for r in minhash_signatures(df, k).collect()
+        }
+
+    sigs = sig_map()
+    # (a) a 3-gram doc with 8 seeds must not produce one constant value
+    for i, sig in sigs.items():
+        assert len(set(sig)) > 1, f"doc {i}: signature degenerate: {sig}"
+    # (b) reference: hash each seeded string as a LITERAL (no lambdas,
+    # no lambda-adjacent context), take mins in python
+    for doc_id, grams in rows:
+        for h in range(k):
+            vals = [
+                spark.range(1)
+                .select(F.xxhash64(F.lit(s + "\x00" + str(h))))
+                .collect()[0][0]
+                for s in grams
+            ]
+            assert sigs[doc_id][h] == min(vals), (doc_id, h)
+    # (c) cross-invocation determinism (the lambda form failed THIS)
+    assert sig_map() == sigs
