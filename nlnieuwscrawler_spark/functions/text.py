@@ -1251,15 +1251,20 @@ def ngram_novelty(df, text_col: str = "text", id_col: str = "doc_id",
     """
     from nlnieuwscrawler_spark.operators.dedup import word_ngrams
 
-    base = df.select(
+    # persisted: the exploded gram table feeds the first-occurrence agg
+    # AND the scoring join — unpersisted, the tokenize+shingle+hash
+    # pipeline (the op's dominant CPU cost) evaluates twice (the minhash
+    # persist lesson; measured 164 → 75 s at 2M docs). The id universe
+    # for the gramless-doc join-back comes from a bare id scan, never a
+    # third gram evaluation.
+    pairs = df.select(
         F.col(id_col).alias("__id"),
-        F.transform(
-            word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s)
-        ).alias("__grams"),
-    )
-    pairs = base.select(
-        "__id", F.explode("__grams").alias("__gram")
-    )
+        F.explode(
+            F.transform(
+                word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s)
+            )
+        ).alias("__gram"),
+    ).persist()
     first = pairs.groupBy("__gram").agg(F.min("__id").alias("__first"))
     per_doc = (
         pairs.join(first, "__gram")
@@ -1271,8 +1276,8 @@ def ngram_novelty(df, text_col: str = "text", id_col: str = "doc_id",
             .alias("n_novel"),
         )
     )
-    return (
-        base.select("__id")
+    out = (
+        df.select(F.col(id_col).alias("__id"))
         .join(per_doc, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
@@ -1288,4 +1293,9 @@ def ngram_novelty(df, text_col: str = "text", id_col: str = "doc_id",
             )
             .alias("novelty"),
         )
+        # materialize eagerly so the gram cache can be released here (the
+        # result is |docs| narrow rows)
+        .localCheckpoint(eager=True)
     )
+    pairs.unpersist()
+    return out

@@ -238,20 +238,21 @@ def semdedup(
             .drop("__csz")
         )
     else:
-        blocked = labeled.withColumn("__sub", F.lit(0))
+        blocked = labeled
+    sub_cols = ["__sub"] if max_cluster is not None else []
     a = blocked.select(
         F.col(id_col).alias("__ida"),
         F.col("cluster").alias("__ca"),
-        F.col("__sub").alias("__sa"),
         F.col(vec_col).alias("__va"),
         F.col("__nrm").alias("__na"),
+        *[F.col(c).alias("__sa") for c in sub_cols],
     )
     b = blocked.select(
         F.col(id_col).alias("__idb"),
         F.col("cluster").alias("__cb"),
-        F.col("__sub").alias("__sb"),
         F.col(vec_col).alias("__vb"),
         F.col("__nrm").alias("__nb"),
+        *[F.col(c).alias("__sb") for c in sub_cols],
     )
     # guarded like similarity.cosine(): an all-zero vector makes the norm
     # product 0 and an unguarded division THROWS under ANSI mode (Spark 4
@@ -261,10 +262,17 @@ def semdedup(
     cos = F.when(
         nprod > 0, dot(F.col("__va"), F.col("__vb")) / nprod
     ).otherwise(F.lit(0.0))
+    # the sub-block equi-key enters the join ONLY when the guard is armed
+    # — the unguarded path keeps the exact r5 two-key join (a constant
+    # lit(0) key is NOT always folded away once the persisted relation
+    # sits under it, and the extra key measurably slowed the join)
+    cond = (F.col("__ca") == F.col("__cb")) & (
+        F.col("__idb") < F.col("__ida")
+    )
+    if max_cluster is not None:
+        cond = cond & (F.col("__sa") == F.col("__sb"))
     dups = (
-        a.join(b, (F.col("__ca") == F.col("__cb"))
-               & (F.col("__sa") == F.col("__sb"))
-               & (F.col("__idb") < F.col("__ida")))
+        a.join(b, cond)
         .filter(F.round(cos, 6) >= F.lit(float(threshold)))
         .select(F.col("__ida").alias(id_col))
         .distinct()

@@ -142,6 +142,7 @@ def curate(
     near_dup: str | None = "minhash",
     near_dup_threshold: float = 0.7,
     near_dup_block: str | None = "lang",
+    near_dup_max_bucket: int | None = None,
     retention_quality_col: str | None = None,
     span_dedup: int | None = None,
     decon_min_overlap: int = 8,
@@ -170,7 +171,10 @@ def curate(
 
     ``near_dup``: "minhash" (the 100 TB default — banded LSH candidates),
     "jaccard" (PPJoin exact pairs — the oracle-checkable mode), or None;
-    both modes block on ``near_dup_block``. ``retention_quality_col``:
+    both modes block on ``near_dup_block``. ``near_dup_max_bucket``
+    (minhash mode): skip LSH buckets above this size — the template-farm
+    guard (see minhash_lsh_pairs); jaccard mode needs none (PPJoin's
+    df-ordered prefixes already keep hot shingles out of the join). ``retention_quality_col``:
     keep the cluster member maximizing (this column, then min id) — the
     FineWeb keep-the-best rule — instead of the min-id representative.
     ``eval_docs``: (eval_id, text) benchmark suite; None skips
@@ -289,6 +293,7 @@ def curate(
             id_col=id_col,
             threshold=near_dup_threshold,
             block_col=near_dup_block,
+            max_bucket=near_dup_max_bucket,
         )
     elif near_dup == "jaccard":
         pairs = ngram_jaccard_pairs(

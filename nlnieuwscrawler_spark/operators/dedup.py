@@ -635,6 +635,8 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     block_col: str | None = None,
+    max_bucket: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -649,9 +651,21 @@ def minhash_lsh_pairs(
     equi-key on the bucket join (never a post-filter), so cross-block
     bucket collisions are pruned by the shuffle hash, not materialized.
 
+    ``max_bucket``: SKIP buckets holding more than this many docs (the
+    LSH analogue of mirror_hosts' df-per-hash guard). A template farm —
+    thousands of near-identical pages that exact dedup can't collapse —
+    legitimately lands its whole cohort in one bucket per band, and the
+    candidate self-join goes O(cohort²) on it. The guard drops those
+    buckets via a broadcast anti-join on the (tiny) hot-bucket list and
+    reports ``stats["hot_buckets"]`` so the run is LOUD about what it
+    pruned; pairs inside a skipped cohort are only lost if the pair
+    collides in no other (cooler) band. Default None preserves complete
+    banding semantics.
+
     Scale shape: explode to (doc, band, band_key) — |docs|×bands rows —
-    then a groupBy band bucket; hot buckets are bounded by collision rate,
-    and the final verify joins only candidate ids back to their gram sets.
+    then a groupBy band bucket; hot buckets are bounded by collision rate
+    (post-guard: by ``max_bucket``), and the final verify joins only
+    candidate ids back to their gram sets.
     """
     r = num_hashes // bands
     base = [F.col(id_col).alias("id"), F.col(text_col)]
@@ -696,6 +710,21 @@ def minhash_lsh_pairs(
     ).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), *blk
     )
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("band", "key", *blk)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("band", "key", *blk)
+            # the hot list is pathological-buckets-only — materialize it
+            # once (it feeds the anti-join AND the stats count)
+            .localCheckpoint(eager=True)
+        )
+        if stats is not None:
+            stats["hot_buckets"] = hot.count()
+        banded = banded.join(
+            F.broadcast(hot), ["band", "key"] + blk, "left_anti"
+        )
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), on=["band", "key"] + blk)

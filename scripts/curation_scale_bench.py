@@ -104,7 +104,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # NLNC_BENCH_ONLY=op1,op2 runs only those legs — lets a long bench be
+    # split across FRESH sessions (one 30-leg session accumulates enough
+    # pinned lineage-cut blocks that late legs can starve; the r6 2M run
+    # died at the composite leg only when 19 legs preceded it in-session)
+    only = set(filter(None, os.environ.get("NLNC_BENCH_ONLY", "").split(",")))
+
+    def _want(name):
+        return not only or name in only
+
     def run(name, df, checksum=False):
+        if not _want(name):
+            return -2
         # checksum=True for projection-only ops: a bare count() lets
         # Catalyst prune the computed columns entirely (measured: the
         # whole gopher_quality projection "ran" in 0.17 s at 2M docs);
@@ -131,12 +142,13 @@ def main() -> None:
     run("dedup_exact", dedup_exact(docs))
     # timed around CONSTRUCTION: minhash_lsh_pairs materializes eagerly
     # (localCheckpoint) so the signature cache can be released inside
-    t0 = time.perf_counter()
-    pairs = minhash_lsh_pairs(docs, threshold=0.7)
-    n_pairs = pairs.count()
-    timings["minhash_lsh_pairs"] = round(time.perf_counter() - t0, 2)
-    print(json.dumps({"op": "minhash_lsh_pairs", "rows": n_pairs,
-                      "sec": timings["minhash_lsh_pairs"]}))
+    if _want("minhash_lsh_pairs") or _want("dedup_retention"):
+        t0 = time.perf_counter()
+        pairs = minhash_lsh_pairs(docs, threshold=0.7)
+        n_pairs = pairs.count()
+        timings["minhash_lsh_pairs"] = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"op": "minhash_lsh_pairs", "rows": n_pairs,
+                          "sec": timings["minhash_lsh_pairs"]}))
     # VERDICT r4 #5: the iterative clustering chain at scale — components +
     # keep-one-per-cluster retention over the 2M-doc minhash pair graph,
     # with the per-round iteration profile (pointer doubling must keep
@@ -146,14 +158,16 @@ def main() -> None:
     # timed around CONSTRUCTION too: the components loop runs eagerly at
     # call time (per-round convergence jobs), so timing only the final
     # count would hide the iterative part
-    comp_stats: dict = {}
-    t0 = time.perf_counter()
-    ret = dedup_retention(docs, pairs, stats=comp_stats)
-    n_ret = ret.count()
-    timings["dedup_retention"] = round(time.perf_counter() - t0, 2)
-    print(json.dumps({"op": "dedup_retention", "rows": n_ret,
-                      "sec": timings["dedup_retention"], **comp_stats}))
-    pairs.unpersist()
+    if _want("dedup_retention"):
+        comp_stats: dict = {}
+        t0 = time.perf_counter()
+        ret = dedup_retention(docs, pairs, stats=comp_stats)
+        n_ret = ret.count()
+        timings["dedup_retention"] = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"op": "dedup_retention", "rows": n_ret,
+                          "sec": timings["dedup_retention"], **comp_stats}))
+    if _want("minhash_lsh_pairs") or _want("dedup_retention"):
+        pairs.unpersist()
     run("stratified_sample", stratified_sample(docs, "source", quota=1000, salt=16))
     run(
         "pack_sequences",
@@ -236,8 +250,9 @@ def main() -> None:
     # (minhash mode — the 100 TB path), audit included
     from nlnieuwscrawler_spark.operators.curate import curate
 
-    t0 = time.perf_counter()
-    res = curate(
+    if _want("curate_composite"):
+      t0 = time.perf_counter()
+      res = curate(
         docs,
         eval_docs=ev,
         seen_hashes=seen,
@@ -247,16 +262,16 @@ def main() -> None:
         salt=16,
         capacity=2048,
         pack_buckets=512,
-    )
-    audit = {
+      )
+      audit = {
         r["stage"]: r["rows_kept"]
         for r in res.stage_counts.orderBy("stage_idx").collect()
-    }
-    n_packed = res.packed.count()
-    timings["curate_composite"] = round(time.perf_counter() - t0, 2)
-    res.unpersist()
-    print(json.dumps({"op": "curate_composite", "rows": n_packed,
-                      "sec": timings["curate_composite"], "audit": audit}))
+      }
+      n_packed = res.packed.count()
+      timings["curate_composite"] = round(time.perf_counter() - t0, 2)
+      res.unpersist()
+      print(json.dumps({"op": "curate_composite", "rows": n_packed,
+                        "sec": timings["curate_composite"], "audit": audit}))
 
     # round-5 late: the iterative GRAPH op at scale — PageRank over a
     # host graph with n_docs/20 hosts and ~2 edges per doc (each doc
@@ -276,27 +291,29 @@ def main() -> None:
             F.pmod(F.xxhash64(F.lit("ph-d2"), F.col("doc_id")), F.lit(n_hosts)).alias("dst"),
         )
     ).filter(F.col("src") != F.col("dst"))
-    pr_stats: dict = {}
-    t0 = time.perf_counter()
-    pr = host_pagerank(edges, n_nodes=n_hosts, iters=5, stats=pr_stats)
-    n_pr = pr.count()
-    timings["host_pagerank"] = round(time.perf_counter() - t0, 2)
-    print(json.dumps({"op": "host_pagerank", "rows": n_pr, "n_hosts": n_hosts,
-                      "sec": timings["host_pagerank"], **pr_stats}))
+    if _want("host_pagerank"):
+        pr_stats: dict = {}
+        t0 = time.perf_counter()
+        pr = host_pagerank(edges, n_nodes=n_hosts, iters=5, stats=pr_stats)
+        n_pr = pr.count()
+        timings["host_pagerank"] = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"op": "host_pagerank", "rows": n_pr, "n_hosts": n_hosts,
+                          "sec": timings["host_pagerank"], **pr_stats}))
 
     # trustrank: same graph, teleport personalized to 100 seed hosts —
     # identical per-round shape (the seeded base is a literal IN-list
     # projection), so any timing gap vs host_pagerank is noise
     from nlnieuwscrawler_spark.operators.graph import trustrank
 
-    tr_stats: dict = {}
-    t0 = time.perf_counter()
-    tr = trustrank(edges, n_nodes=n_hosts, seeds=list(range(100)),
-                   iters=5, stats=tr_stats)
-    n_tr = tr.count()
-    timings["trustrank"] = round(time.perf_counter() - t0, 2)
-    print(json.dumps({"op": "trustrank", "rows": n_tr, "n_hosts": n_hosts,
-                      "sec": timings["trustrank"], **tr_stats}))
+    if _want("trustrank"):
+        tr_stats: dict = {}
+        t0 = time.perf_counter()
+        tr = trustrank(edges, n_nodes=n_hosts, seeds=list(range(100)),
+                       iters=5, stats=tr_stats)
+        n_tr = tr.count()
+        timings["trustrank"] = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"op": "trustrank", "rows": n_tr, "n_hosts": n_hosts,
+                          "sec": timings["trustrank"], **tr_stats}))
 
     # link-spam features: four narrow aggs + ONE (src,dst) self-equi-join
     from nlnieuwscrawler_spark.operators.graph import host_link_stats
@@ -408,15 +425,16 @@ def main() -> None:
     run("vocab_stats", vocab_stats(docs), checksum=True)
     from nlnieuwscrawler_spark.operators.graph import crawl_depth
 
-    bfs_stats: dict = {}
-    t0 = time.perf_counter()
-    cd = crawl_depth(edges, n_nodes=n_hosts, seeds=list(range(10)),
-                     stats=bfs_stats)
-    n_unreach = cd.filter("depth IS NULL").count()
-    timings["crawl_depth"] = round(time.perf_counter() - t0, 2)
-    print(json.dumps({"op": "crawl_depth", "rows": n_hosts,
-                      "unreachable": n_unreach,
-                      "sec": timings["crawl_depth"], **bfs_stats}))
+    if _want("crawl_depth"):
+        bfs_stats: dict = {}
+        t0 = time.perf_counter()
+        cd = crawl_depth(edges, n_nodes=n_hosts, seeds=list(range(10)),
+                         stats=bfs_stats)
+        n_unreach = cd.filter("depth IS NULL").count()
+        timings["crawl_depth"] = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"op": "crawl_depth", "rows": n_hosts,
+                          "unreachable": n_unreach,
+                          "sec": timings["crawl_depth"], **bfs_stats}))
 
     # crawl-budget composite: pagerank (re-run inside, same edge graph) ×
     # change rate over the fetch log × a synthetic per-host quality —
@@ -429,21 +447,22 @@ def main() -> None:
             (F.pmod(F.xxhash64(F.lit("q"), "id"), F.lit(1000)) / 1000.0), 6
         ).alias("qscore"),
     )
-    pc_stats: dict = {}
-    t0 = time.perf_counter()
-    pc = plan_crawl(
-        edges,
-        obs.select(F.pmod(F.col("user_id"), F.lit(n_hosts)).alias("host"),
-                   "ts", "value", "event_id"),
-        q_host, n_hosts=n_hosts, budget=10_000_000, iters=5,
-        stats=pc_stats,
-    )
-    bsum = pc.agg(F.sum("quota")).collect()[0][0]
-    timings["plan_crawl"] = round(time.perf_counter() - t0, 2)
-    assert bsum == 10_000_000, bsum
-    print(json.dumps({"op": "plan_crawl", "rows": n_hosts,
-                      "quota_sum": bsum,
-                      "sec": timings["plan_crawl"], **pc_stats}))
+    if _want("plan_crawl"):
+        pc_stats: dict = {}
+        t0 = time.perf_counter()
+        pc = plan_crawl(
+            edges,
+            obs.select(F.pmod(F.col("user_id"), F.lit(n_hosts)).alias("host"),
+                       "ts", "value", "event_id"),
+            q_host, n_hosts=n_hosts, budget=10_000_000, iters=5,
+            stats=pc_stats,
+        )
+        bsum = pc.agg(F.sum("quota")).collect()[0][0]
+        timings["plan_crawl"] = round(time.perf_counter() - t0, 2)
+        assert bsum == 10_000_000, bsum
+        print(json.dumps({"op": "plan_crawl", "rows": n_hosts,
+                          "quota_sum": bsum,
+                          "sec": timings["plan_crawl"], **pc_stats}))
 
     # VERDICT r4 #7: embeddings leg — IVF ANN at n_vecs = n_docs/2 synthetic
     # 64-d vectors (deterministic: sin of seeded xxhash64), 100 queries
@@ -603,8 +622,9 @@ def main() -> None:
     sd_vecs = vecs.filter(F.col("vec_id") < sd_n)
     # semdedup materializes eagerly (localCheckpoint inside) — the count
     # in run() times real work; checksum not needed for an eager op
-    run(f"semdedup_{sd_n // 1000}k_k{sd_k}",
-        lambda: semdedup(sd_vecs, k=sd_k, iters=2, threshold=0.95))
+    if _want("semdedup"):
+        run(f"semdedup_{sd_n // 1000}k_k{sd_k}",
+            lambda: semdedup(sd_vecs, k=sd_k, iters=2, threshold=0.95))
     run("snapshot_delta", snapshot_delta(obs), checksum=True)
 
     # r6 ops: the parallel prefix-sum shard manifest (range shuffle of the
@@ -624,7 +644,8 @@ def main() -> None:
         checksum=True)
     run("host_dup_ratio", host_dup_stats(mh_corpus, host_col="host"),
         checksum=True)
-    run("ngram_novelty", ngram_novelty(docs), checksum=True)
+    # thunk: eager op (localCheckpoint inside) — construction in the timer
+    run("ngram_novelty", lambda: ngram_novelty(docs), checksum=True)
 
     # r6 composite: curate() with EVERY stage armed — URL gate, recrawl
     # incremental (raw page-hash history = the %13 slice of the same
@@ -674,8 +695,9 @@ def main() -> None:
         .select(F.md5("text").alias("content_hash"))
         .distinct()
     )
-    t0 = time.perf_counter()
-    res_full = curate(
+    if _want("curate_composite_full"):
+      t0 = time.perf_counter()
+      res_full = curate(
         page_docs,
         eval_docs=ev,
         seen_hashes=page_seen,
@@ -691,17 +713,17 @@ def main() -> None:
         salt=16,
         capacity=2048,
         pack_buckets=512,
-    )
-    audit_full = {
+      )
+      audit_full = {
         r["stage"]: r["rows_kept"]
         for r in res_full.stage_counts.orderBy("stage_idx").collect()
-    }
-    n_packed_full = res_full.packed.count()
-    timings["curate_composite_full"] = round(time.perf_counter() - t0, 2)
-    res_full.unpersist()
-    print(json.dumps({"op": "curate_composite_full", "rows": n_packed_full,
-                      "sec": timings["curate_composite_full"],
-                      "audit": audit_full}))
+      }
+      n_packed_full = res_full.packed.count()
+      timings["curate_composite_full"] = round(time.perf_counter() - t0, 2)
+      res_full.unpersist()
+      print(json.dumps({"op": "curate_composite_full", "rows": n_packed_full,
+                        "sec": timings["curate_composite_full"],
+                        "audit": audit_full}))
 
     print(json.dumps({"n_docs": n_docs, "n_vecs": n_vecs, "cores": cores,
                       "timings": timings}))

@@ -74,6 +74,38 @@ def test_minhash_block_col_matches_blocked_exact(spark, docs):
     assert unblocked.count() == 1
 
 
+def test_minhash_max_bucket_guard_prunes_template_farm(spark, docs):
+    """A template farm (200 near-identical docs, distinct texts so exact
+    dedup can't collapse them) lands its cohort in one bucket per band;
+    max_bucket skips those buckets LOUDLY (stats) instead of building
+    O(cohort²) candidates, while normal planted near-dups elsewhere are
+    untouched."""
+    # varying repeat counts: distinct texts (exact dedup can't collapse)
+    # but IDENTICAL distinct-gram sets -> identical signatures -> one
+    # 200-doc bucket in every band, the canonical template farm
+    farm = [(800000 + i, "x y z " * (20 + i), "nl", "w") for i in range(200)]
+    pair = [
+        (900001, "p q r s t u v w " * 10, "nl", "w"),
+        (900002, "p q r s t u v w " * 10 + "extra", "nl", "w"),
+    ]
+    df = spark.createDataFrame(
+        farm + pair, "doc_id long, text string, lang string, source string"
+    )
+    stats: dict = {}
+    got = dedup.minhash_lsh_pairs(
+        df, threshold=0.5, max_bucket=50, stats=stats
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got.collect()}
+    assert stats["hot_buckets"] >= 1
+    # the healthy near-dup pair survives the guard
+    assert (900001, 900002) in pairs
+    # farm pairs are pruned (every farm bucket is hot in every band)
+    assert not any(a >= 800000 and b < 900000 for a, b in pairs), pairs
+    # unguarded: the farm floods the pair set
+    all_pairs = dedup.minhash_lsh_pairs(df, threshold=0.5)
+    assert all_pairs.count() > len(pairs)
+
+
 def test_minhash_deterministic_across_partitioning(spark, docs):
     one = dedup.minhash_lsh_pairs(docs.repartition(1), threshold=0.1)
     many = dedup.minhash_lsh_pairs(docs.repartition(7), threshold=0.1)
