@@ -33,6 +33,7 @@ same fixed iterations reproduces every assignment bit-for-bit.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -55,10 +56,62 @@ def _assign(df: DataFrame, centroids: list[tuple[int, list[float]]],
             vec_col: str) -> DataFrame:
     """Label every row with its nearest centroid — pure projection.
 
-    Argmin via ``F.least`` over (dist, cid) structs: struct comparison is
-    lexicographic in both engines, so ties on distance break to the
-    smaller cluster id exactly like the oracle's ORDER BY dist, cid.
+    BIT-IDENTICAL to the expression form it replaces (kept as
+    :func:`_assign_expr`, pinned by tests/test_clustering.py): the
+    Catalyst higher-order ``aggregate(zip_with(...))`` fold is evaluated
+    interpreted, per element, per centroid, per row — measured 0.75 s for
+    2000 rows × 8 centroids × 64 dims at sf0.1, and each k-means
+    iteration additionally re-codegens the giant literal expression. The
+    vectorized form runs the SAME IEEE arithmetic in numpy float64 —
+    ``(x_d - c_d)²`` accumulated LEFT-TO-RIGHT over dimensions
+    (one vectorized add per dimension, so the per-row fold order is
+    exactly the zip_with/aggregate order) — and the argmin ties break to
+    the smaller cluster id by sequential strictly-less updates, matching
+    ``F.least`` over (dist, cid) structs. Same guide-§4 move as
+    SimHash/with_lsh_bucket: batch the per-element math through numpy,
+    keep distribution and shuffles in Spark.
     """
+    import pandas as pd
+
+    C = np.array([vec for _, vec in centroids], dtype=np.float64)
+    cids = np.array([int(cid) for cid, _ in centroids], dtype=np.int64)
+
+    @F.pandas_udf("cluster long, sqdist double")
+    def nearest(vecs):
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        n = m.shape[0]
+        best_d = None
+        best_c = None
+        for ci in range(C.shape[0]):
+            d = np.zeros(n, dtype=np.float64)
+            for j in range(C.shape[1]):  # left-to-right over dimensions
+                t = m[:, j] - C[ci, j]
+                d += t * t
+            if best_d is None:
+                best_d, best_c = d, np.full(n, cids[ci], dtype=np.int64)
+            else:
+                # strict less: ties keep the smaller cid. NaN sorts
+                # GREATER than every double in Spark's ordering, so a
+                # non-NaN candidate also beats a NaN incumbent.
+                upd = (d < best_d) | (np.isnan(best_d) & ~np.isnan(d))
+                best_d = np.where(upd, d, best_d)
+                best_c = np.where(upd, cids[ci], best_c)
+        return pd.DataFrame({"cluster": best_c, "sqdist": best_d})
+
+    return (
+        df.withColumn("__best", nearest(F.col(vec_col)))
+        .withColumn("cluster", F.col("__best.cluster"))
+        .withColumn("sqdist", F.col("__best.sqdist"))
+        .drop("__best")
+    )
+
+
+def _assign_expr(df: DataFrame, centroids: list[tuple[int, list[float]]],
+                 vec_col: str) -> DataFrame:
+    """The original pure-expression assignment (higher-order folds +
+    ``F.least`` struct argmin). Kept as the reference implementation the
+    vectorized :func:`_assign` is pinned against — slow per row, but its
+    semantics are the module contract."""
     cands = [
         F.struct(
             _sqdist(F.col(vec_col), vec).alias("dist"),
@@ -204,12 +257,13 @@ def semdedup(
     default, changes nothing). ``stats`` records ``oversized_clusters``
     and ``max_cluster_size`` so a production run can see the guard fire.
     """
+    import pandas as pd
+
     base = df.select(F.col(id_col), F.col(vec_col))
     centroids = _fit_centroids(base, k, iters, vec_col, id_col, cache=cache)
     labeled = (
         _assign(base, centroids, vec_col)
-        .select(id_col, "cluster", vec_col,
-                norm(F.col(vec_col)).alias("__nrm"))
+        .select(id_col, "cluster", vec_col)
         .persist()
     )
     if max_cluster is not None:
@@ -239,42 +293,73 @@ def semdedup(
         )
     else:
         blocked = labeled
-    sub_cols = ["__sub"] if max_cluster is not None else []
-    a = blocked.select(
-        F.col(id_col).alias("__ida"),
-        F.col("cluster").alias("__ca"),
-        F.col(vec_col).alias("__va"),
-        F.col("__nrm").alias("__na"),
-        *[F.col(c).alias("__sa") for c in sub_cols],
+    # Pairwise stage, two-stage like similarity.cosine_neardup_pairs
+    # (guide §4.2): candidates from a per-block numpy GRAM MATRIX
+    # (applyInPandas; BLAS — orders of magnitude cheaper than the
+    # per-pair interpreted higher-order cosine the r5 self-join paid on
+    # EVERY same-cluster pair), then the EXACT left-to-right HOF cosine
+    # recomputed on candidates only, so the keep/drop decision stays
+    # bit-identical to the naive form (and to the DuckDB oracle). The
+    # candidate slack must cover BOTH error sources between the
+    # normalized-gram estimate and round(exact, 6) >= τ: float
+    # summation-order drift (~1e-12) AND the 6-dp round-UP window
+    # (an exact cos of τ-4.9e-7 still rounds to τ) — hence 5.01e-7.
+    group_cols = ["cluster"] + (
+        ["__sub"] if max_cluster is not None else []
     )
-    b = blocked.select(
-        F.col(id_col).alias("__idb"),
-        F.col("cluster").alias("__cb"),
-        F.col(vec_col).alias("__vb"),
-        F.col("__nrm").alias("__nb"),
-        *[F.col(c).alias("__sb") for c in sub_cols],
+    vsel = blocked.select(id_col, *group_cols, vec_col)
+    slack = float(threshold) - 5.01e-7
+    tile_rows = 4096
+
+    def block_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(m, axis=1)
+        nz = nrm > 0
+        mn = np.zeros_like(m)
+        mn[nz] = m[nz] / nrm[nz, None]
+        rows = mn.shape[0]
+        out_a, out_b = [], []
+        for start in range(0, rows, tile_rows):
+            strip = mn[start : start + tile_rows] @ mn.T  # (tile, rows)
+            ai, bi = np.nonzero(strip >= slack)
+            ai = ai + start
+            keep = bi > ai  # strict upper triangle, global indices
+            ai, bi = ai[keep], bi[keep]
+            # the DROP target is the LARGER id (a smaller-id sibling
+            # being similar is what marks a vector a duplicate)
+            out_a.append(np.maximum(ids[ai], ids[bi]))
+            out_b.append(np.minimum(ids[ai], ids[bi]))
+        empty = np.empty(0, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else empty,
+                "id_b": np.concatenate(out_b) if out_b else empty,
+            }
+        )
+
+    cand = vsel.groupBy(*group_cols).applyInPandas(
+        block_candidates, "id_a long, id_b long"
+    )
+    va = labeled.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    vb = labeled.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
     )
     # guarded like similarity.cosine(): an all-zero vector makes the norm
     # product 0 and an unguarded division THROWS under ANSI mode (Spark 4
     # default) — and even non-ANSI NULL vs the oracle's NaN would flip
     # keep/drop; cosine-to-a-zero-vector is defined 0 here (never a dup)
-    nprod = F.col("__na") * F.col("__nb")
+    nprod = norm(F.col("__va")) * norm(F.col("__vb"))
     cos = F.when(
         nprod > 0, dot(F.col("__va"), F.col("__vb")) / nprod
     ).otherwise(F.lit(0.0))
-    # the sub-block equi-key enters the join ONLY when the guard is armed
-    # — the unguarded path keeps the exact r5 two-key join (a constant
-    # lit(0) key is NOT always folded away once the persisted relation
-    # sits under it, and the extra key measurably slowed the join)
-    cond = (F.col("__ca") == F.col("__cb")) & (
-        F.col("__idb") < F.col("__ida")
-    )
-    if max_cluster is not None:
-        cond = cond & (F.col("__sa") == F.col("__sb"))
     dups = (
-        a.join(b, cond)
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .filter(F.round(cos, 6) >= F.lit(float(threshold)))
-        .select(F.col("__ida").alias(id_col))
+        .select(F.col("id_a").alias(id_col))
         .distinct()
     )
     out = (

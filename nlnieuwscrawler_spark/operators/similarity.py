@@ -46,6 +46,83 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
+def cosine_vec(a: Column, b: Column) -> Column:
+    """BIT-IDENTICAL vectorized form of :func:`cosine` (guide §4.2).
+
+    The higher-order ``aggregate(zip_with(...))`` folds are interpreted
+    per element per row — the dominant cost of the ANN scorers once
+    candidates number 10^4+ (measured ~0.75 s / 10^6 element-ops at
+    sf0.1). This runs the SAME IEEE arithmetic in numpy float64: dot and
+    both squared norms accumulate LEFT-TO-RIGHT over dimensions (one
+    vectorized add per dimension preserves the per-row fold order),
+    ``sqrt``/division/multiplication are single IEEE ops on identical
+    operands, and the zero/invalid-norm guard reproduces
+    ``F.when(d > 0, ...).otherwise(0.0)`` (NaN compares false). Rows
+    with NULL or length-mismatched arrays take a per-row fallback that
+    returns the expression form's result (0.0 — the WHEN guard's
+    otherwise-branch, since a null element nulls the fold). Equality
+    with :func:`cosine` is pinned bitwise by tests/test_similarity
+    coverage in test_dedup_similarity.py."""
+
+    @F.pandas_udf("double")
+    def _cos(va, vb):
+        av = va.to_numpy()
+        bv = vb.to_numpy()
+        n = len(av)
+        lens = np.fromiter(
+            (len(x) if x is not None else -1 for x in av), np.int64, n
+        )
+        lensb = np.fromiter(
+            (len(x) if x is not None else -1 for x in bv), np.int64, n
+        )
+        out = np.zeros(n, dtype=np.float64)
+        uniform = (
+            n > 0
+            and lens.min() == lens.max() == lensb.min() == lensb.max()
+            and lens[0] >= 0
+        )
+        if uniform:
+            A = np.stack(av).astype(np.float64)
+            B = np.stack(bv).astype(np.float64)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            dd = np.zeros(n)
+            for j in range(A.shape[1]):  # left-to-right over dimensions
+                na += A[:, j] * A[:, j]
+                nb += B[:, j] * B[:, j]
+                dd += A[:, j] * B[:, j]
+            nprod = np.sqrt(na) * np.sqrt(nb)
+            pos = nprod > 0
+            out[pos] = dd[pos] / nprod[pos]
+            return pd.Series(out)
+        # ragged/null fallback, faithful to the expression form:
+        # NULL array -> 0.0 (null norm fails the d > 0 guard); equal
+        # lengths -> the same left-to-right fold; MISMATCHED lengths ->
+        # NULL (zip_with pads with null, so dot is null while the norms
+        # are positive and the guard passes null through)
+        res = pd.Series(out, dtype="Float64")
+        for i in range(n):
+            x, y = av[i], bv[i]
+            if x is None or y is None:
+                continue  # 0.0
+            if len(x) != len(y):
+                res[i] = pd.NA
+                continue
+            xa = np.asarray(x, dtype=np.float64)
+            ya = np.asarray(y, dtype=np.float64)
+            na = nb = dd = 0.0
+            for j in range(len(xa)):
+                na += xa[j] * xa[j]
+                nb += ya[j] * ya[j]
+                dd += xa[j] * ya[j]
+            nprod = np.sqrt(na) * np.sqrt(nb)
+            if nprod > 0:
+                res[i] = dd / nprod
+        return res
+
+    return _cos(a, b)
+
+
 # --------------------------------------------------------------------------
 # brute-force top-k (exact baseline)
 # --------------------------------------------------------------------------
@@ -73,7 +150,7 @@ def ann_bruteforce_topk(
     ).select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col(vec_col), F.col("__qv")), 8).alias("cos"),
+        F.round(cosine_vec(F.col(vec_col), F.col("__qv")), 8).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos"), F.asc("neighbor_id")
@@ -164,7 +241,7 @@ def ann_lsh_topk(
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col(vec_col), F.col("__qv")), 8).alias("cos"),
+        F.round(cosine_vec(F.col(vec_col), F.col("__qv")), 8).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -247,7 +324,7 @@ def ann_ivf_topk(
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col(vec_col), F.col("__qv")), 8).alias("cos"),
+        F.round(cosine_vec(F.col(vec_col), F.col("__qv")), 8).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

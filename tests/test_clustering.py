@@ -188,6 +188,114 @@ def test_semdedup_max_cluster_guard_bounds_degenerate_blocks(spark):
     assert list(loose["keep"]) == list(exact["keep"])
 
 
+def test_assign_vectorized_is_bit_identical_to_expression_form(spark):
+    """r7: the numpy pandas-UDF assignment must reproduce the Catalyst
+    higher-order-fold form BIT-FOR-BIT (same left-to-right IEEE fold,
+    same tie-to-smaller-cid argmin) — raw doubles compared with ==, no
+    tolerance. Includes exact ties (duplicate vectors) and a zero
+    vector."""
+    from nlnieuwscrawler_spark.operators.clustering import (
+        _assign,
+        _assign_expr,
+        _fit_centroids,
+    )
+
+    rng = np.random.RandomState(17)
+    vecs = rng.standard_normal((80, 16)).astype(np.float32)
+    vecs[10] = vecs[3]          # exact tie candidates
+    vecs[11] = 0.0              # zero vector
+    df = _vec_df(spark, vecs)
+    cents = _fit_centroids(
+        df.select("vec_id", "embedding"), 5, 2, "embedding", "vec_id"
+    )
+    fast = (
+        _assign(df, cents, "embedding")
+        .select("vec_id", "cluster", "sqdist")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ref = (
+        _assign_expr(df, cents, "embedding")
+        .select("vec_id", "cluster", "sqdist")
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert [r["cluster"] for r in fast] == [r["cluster"] for r in ref]
+    assert [r["sqdist"] for r in fast] == [r["sqdist"] for r in ref]
+
+
+def test_semdedup_two_stage_matches_expression_join_reference(spark):
+    """r7: the gram-matrix candidate stage + exact-verify restructure
+    must keep the (cluster, keep) output identical to the r5
+    all-same-cluster-pairs expression join, including near-threshold
+    pairs (vectors planted at cosines straddling the 0.99 cut)."""
+    from nlnieuwscrawler_spark.operators.clustering import (
+        _assign_expr,
+        _fit_centroids,
+    )
+    from nlnieuwscrawler_spark.operators.similarity import dot, norm
+
+    rng = np.random.RandomState(23)
+    base = rng.standard_normal((60, 8)).astype(np.float32)
+    # plant pairs around the threshold: rotations of a few base vectors
+    # by angles whose cosines land just above / just below 0.99
+    extra = []
+    for i, th in ((0, 0.10), (1, 0.14), (2, 0.145), (3, 0.1415)):
+        v = base[i].astype(np.float64)
+        # rotate in the plane spanned by v and a fixed orthogonal helper
+        h = np.ones_like(v)
+        h -= h.dot(v) / v.dot(v) * v
+        u1, u2 = v / np.linalg.norm(v), h / np.linalg.norm(h)
+        extra.append(
+            (np.cos(th) * u1 + np.sin(th) * u2) * np.linalg.norm(v)
+        )
+    vecs = np.concatenate([base, np.array(extra)]).astype(np.float32)
+    df = _vec_df(spark, vecs)
+    threshold = 0.99
+
+    got = (
+        semdedup(df, k=3, iters=2, threshold=threshold)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+
+    # reference: r5 shape — label with the expression assign, then join
+    # EVERY same-cluster (b < a) pair through the exact HOF cosine
+    base_df = df.select("vec_id", "embedding")
+    cents = _fit_centroids(base_df, 3, 2, "embedding", "vec_id")
+    labeled = _assign_expr(base_df, cents, "embedding").select(
+        "vec_id", "cluster", "embedding"
+    )
+    a = labeled.select(
+        F.col("vec_id").alias("__ida"),
+        F.col("cluster").alias("__ca"),
+        F.col("embedding").alias("__va"),
+    )
+    b = labeled.select(
+        F.col("vec_id").alias("__idb"),
+        F.col("cluster").alias("__cb"),
+        F.col("embedding").alias("__vb"),
+    )
+    nprod = norm(F.col("__va")) * norm(F.col("__vb"))
+    cos = F.when(
+        nprod > 0, dot(F.col("__va"), F.col("__vb")) / nprod
+    ).otherwise(F.lit(0.0))
+    dup_ids = {
+        r["__ida"]
+        for r in a.join(
+            b,
+            (F.col("__ca") == F.col("__cb"))
+            & (F.col("__idb") < F.col("__ida")),
+        )
+        .filter(F.round(cos, 6) >= F.lit(threshold))
+        .select("__ida")
+        .distinct()
+        .collect()
+    }
+    want_keep = [i not in dup_ids for i in range(len(vecs))]
+    assert list(got["keep"]) == want_keep
+
+
 def test_semdedup_pair_join_is_equi_not_cartesian(spark):
     rng = np.random.RandomState(5)
     df = _vec_df(spark, rng.standard_normal((40, 4)).astype(np.float32))

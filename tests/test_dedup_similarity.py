@@ -130,6 +130,42 @@ def test_simhash_planted_duplicate(spark, docs):
     assert (1, 3) not in pairs or pairs[(1, 3)] > pairs[(1, 2)]
 
 
+def test_cosine_vec_bit_identical_to_expression_cosine(spark, embeddings):
+    """r7: the vectorized numpy cosine used by the ANN scorers must
+    reproduce the higher-order-fold expression BIT-FOR-BIT (raw doubles
+    compared with ==), including a zero vector and the real float32
+    fixture vectors paired against shifted copies of themselves."""
+    import numpy as np
+
+    rng = np.random.RandomState(29)
+    n, dim = 200, 64
+    a = rng.standard_normal((n, dim)).astype(np.float32)
+    b = rng.standard_normal((n, dim)).astype(np.float32)
+    a[7] = 0.0
+    b[11] = 0.0
+    a[13] = b[13]  # cos exactly 1-ish path
+    rows = [
+        (i, [float(x) for x in a[i]], [float(y) for y in b[i]])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["i", "va", "vb"]).select(
+        "i",
+        F.col("va").cast("array<float>").alias("va"),
+        F.col("vb").cast("array<float>").alias("vb"),
+    )
+    got = (
+        df.select(
+            "i",
+            similarity.cosine(F.col("va"), F.col("vb")).alias("c_expr"),
+            similarity.cosine_vec(F.col("va"), F.col("vb")).alias("c_vec"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    for r in got:
+        assert r["c_expr"] == r["c_vec"], (r["i"], r["c_expr"], r["c_vec"])
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark, embeddings):
     q = embeddings.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
