@@ -1237,9 +1237,13 @@ def ngram_novelty(df, text_col: str = "text", id_col: str = "doc_id",
 
     100 TB shape: explode the corpus to NARROW (gram, id) pairs once;
     ``min(id)`` per gram is a map-side-combinable hash agg (the same
-    first-occurrence agg dedup_spans uses); one gram-keyed equi-join
-    scores the pairs and a per-doc agg folds them back — two exchanges
-    of gram-sized rows, no text column in either, no windows. Grams are
+    first-occurrence agg dedup_spans uses); per-doc gram and novelty
+    counts are two more map-side-combinable aggs over the cached pairs
+    and the |distinct grams|-row first table (NO gram-keyed join-back —
+    each gram credits exactly one doc, so counting ``first`` by its
+    min-id IS the per-doc novel count), and every exchange after the
+    explode moves |docs|-sized rows. No text column anywhere, no
+    windows. Grams are
     xxhash64-PRE-HASHED to longs before the explode (the
     ngram_jaccard_pairs trick: 8-byte keys instead of ~20-byte strings
     through both exchanges AND the join probe; collisions among corpus
@@ -1252,7 +1256,7 @@ def ngram_novelty(df, text_col: str = "text", id_col: str = "doc_id",
     from nlnieuwscrawler_spark.operators.dedup import word_ngrams
 
     # persisted: the exploded gram table feeds the first-occurrence agg
-    # AND the scoring join — unpersisted, the tokenize+shingle+hash
+    # AND the per-doc gram count — unpersisted, the tokenize+shingle+hash
     # pipeline (the op's dominant CPU cost) evaluates twice (the minhash
     # persist lesson; measured 164 → 75 s at 2M docs). The id universe
     # for the gramless-doc join-back comes from a bare id scan, never a
@@ -1265,20 +1269,26 @@ def ngram_novelty(df, text_col: str = "text", id_col: str = "doc_id",
             )
         ).alias("__gram"),
     ).persist()
+    # r7 (guide §2.4): NO gram-keyed scoring join. Each gram's min(id)
+    # credits exactly ONE doc with one novel gram, so n_novel per doc is
+    # a count over the (already aggregated, |distinct grams|-row) first-
+    # occurrence table keyed by its min-id — and n_grams per doc is a
+    # plain count over the exploded pairs. The old form joined the FULL
+    # |doc-gram| pair table back against `first` on the gram key (the
+    # op's biggest exchange, ~|corpus grams| rows both sides) only to
+    # re-derive those two counts; the two hash aggs move |docs|-sized
+    # results instead (identical output — n_novel ≡ Σ_grams[min==id]).
     first = pairs.groupBy("__gram").agg(F.min("__id").alias("__first"))
-    per_doc = (
-        pairs.join(first, "__gram")
-        .groupBy("__id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum((F.col("__first") == F.col("__id")).cast("long"))
-            .cast("long")
-            .alias("n_novel"),
-        )
+    per_gram = pairs.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    novel = first.groupBy(F.col("__first").alias("__id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
     )
     out = (
         df.select(F.col(id_col).alias("__id"))
-        .join(per_doc, "__id", "left")
+        .join(per_gram, "__id", "left")
+        .join(novel, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
             F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
@@ -1288,7 +1298,12 @@ def ngram_novelty(df, text_col: str = "text", id_col: str = "doc_id",
             )
             .otherwise(
                 F.round(
-                    F.col("n_novel").cast("double") / F.col("n_grams"), 6
+                    # n_novel is NULL (not 0) for docs whose every gram
+                    # was first seen elsewhere — they have no row in the
+                    # first-occurrence count
+                    F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                    / F.col("n_grams"),
+                    6,
                 )
             )
             .alias("novelty"),

@@ -753,6 +753,35 @@ def test_host_lang_entropy_manual(spark):
     assert out["mix"]["majority_lang"] == "nl" and out["mix"]["n_docs"] == 4
 
 
+def test_ngram_novelty_pinned(spark):
+    """r7: the scoring join was replaced by two counts (per-doc grams;
+    first-occurrence table counted by its min-id) — pin the semantics:
+    distinct trigrams per doc, novelty = fraction whose corpus-wide
+    first occurrence (min doc id) is the doc itself, gramless docs
+    score 1.0 with zero counts."""
+    from nlnieuwscrawler_spark.functions.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # {abc, bcd} both first -> 2/2
+            (2, "a b c x"),        # abc seen, bcx new -> 1/2
+            (3, "a b"),            # < 3 tokens -> gramless
+            (4, "b c d a b c"),    # bcd seen, cda new, dab new, abc seen
+            (5, "a b c d"),        # every gram seen in d1 -> 0/2
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in ngram_novelty(df).orderBy("doc_id").collect()
+    }
+    assert (got[1]["n_grams"], got[1]["n_novel"], got[1]["novelty"]) == (2, 2, 1.0)
+    assert (got[2]["n_grams"], got[2]["n_novel"], got[2]["novelty"]) == (2, 1, 0.5)
+    assert (got[3]["n_grams"], got[3]["n_novel"], got[3]["novelty"]) == (0, 0, 1.0)
+    assert (got[4]["n_grams"], got[4]["n_novel"], got[4]["novelty"]) == (4, 2, 0.5)
+    assert (got[5]["n_grams"], got[5]["n_novel"], got[5]["novelty"]) == (2, 0, 0.0)
+
+
 def test_vocab_stats_hapax_and_ttr(spark):
     """Hapax ratio counts once-only tokens within the source; TTR =
     distinct/total; empty docs contribute nothing."""
