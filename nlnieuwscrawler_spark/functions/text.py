@@ -168,9 +168,27 @@ def gopher_quality(df, text_col: str = "text", id_col: str = "doc_id"):
     Pure per-row native expressions except the repetition join — callers
     who only need the cheap rules can project them without it.
     """
-    toks = tokens_col_text(F.col(text_col))
+    s = gopher_struct(F.col(text_col))
+    return df.select(
+        id_col,
+        *[
+            s[f].alias(f)
+            for f in (
+                "n_tokens", "mean_word_len", "stop_hits", "word_count_ok",
+                "mean_word_len_ok", "stopword_ok", "repetition_ok",
+                "passes",
+            )
+        ],
+    )
+
+
+def gopher_struct(text: Column) -> Column:
+    """Expression form of :func:`gopher_quality` — one struct over a
+    text column (see :func:`line_dedup_struct` for why composites use
+    expressions instead of id-join-backs)."""
+    toks = tokens_col_text(text)
     n = F.size(toks)
-    chars = F.length(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", ""))
+    chars = F.length(F.regexp_replace(F.trim(F.lower(text)), r"\s+", ""))
     mean_wl = F.when(n > 0, F.round(chars.cast("double") / n, 4)).otherwise(
         F.lit(0.0)
     )
@@ -187,8 +205,7 @@ def gopher_quality(df, text_col: str = "text", id_col: str = "doc_id"):
     mean_wl_ok = (mean_wl >= 2.0) & (mean_wl <= 12.0)
     stop_ok = stop_hits >= 2
     rep_ok = distinct_ratio >= 0.1
-    return df.select(
-        id_col,
+    return F.struct(
         n.cast("long").alias("n_tokens"),
         mean_wl.alias("mean_word_len"),
         stop_hits.cast("long").alias("stop_hits"),
@@ -544,10 +561,24 @@ def lm_bigram_score(df, text_col: str = "text", id_col: str = "doc_id"):
     # pass. Total explode evaluations per action: 2 (model + scoring).
     cab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
     ca = cab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
-    mult = big.groupBy(id_col, "a", "b").agg(F.count(F.lit(1)).alias("__m"))
+    # r7 (guide §2.3, VERDICT r6 #2): the scoring join is keyed on the
+    # 64-bit hash of the bigram, not the two token STRINGS — the
+    # (id, bigram, multiplicity) table is the op's dominant shuffle
+    # (distinct bigrams per doc × corpus), and dropping both strings
+    # before the exchange roughly halves its bytes at the 20M-doc leg
+    # where this join spilled (BENCH/BASELINE.md r6). Collisions among
+    # corpus bigrams are the repo-standard ~2^-50 events (the
+    # ngram_jaccard_pairs convention). The model tables stay
+    # string-keyed (vocab²-bounded — c(a) must group by the first
+    # token); only the join key is hashed on both sides.
+    hkey = F.xxhash64(F.col("a"), F.col("b"))
+    mult = (
+        big.select(id_col, hkey.alias("__h"))
+        .groupBy(id_col, "__h")
+        .agg(F.count(F.lit(1)).alias("__m"))
+    )
     probs = cab.join(ca, "a").select(
-        "a",
-        "b",
+        hkey.alias("__h"),
         F.round(
             -F.log(F.col("c_ab").cast("double") / F.col("c_a")), 9
         ).alias("__nll"),
@@ -556,7 +587,7 @@ def lm_bigram_score(df, text_col: str = "text", id_col: str = "doc_id"):
     # multiply, so every product and the sum are exact/associative in
     # both engines (double-summing would be partition-order dependent)
     scored = (
-        mult.join(probs, ["a", "b"])
+        mult.join(probs, "__h")
         .groupBy(id_col)
         .agg(
             F.sum("__m").cast("long").alias("n_bigrams"),
@@ -939,6 +970,27 @@ def perplexity_buckets(
     )
 
 
+def line_dedup_struct(text: Column) -> Column:
+    """Expression form of :func:`dedup_lines` — struct(n_lines, n_kept,
+    text_dedup) over one text column. Exposed so composites (curate())
+    can REPLACE the text column in place as a zero-shuffle projection
+    instead of joining the (id, text) result frame back on id (r7: that
+    join moved the whole corpus through an exchange per rewrite stage).
+    """
+
+    def build(ls: Column) -> Column:
+        kept = F.filter(
+            ls, lambda x, i: F.array_position(ls, x) == i + F.lit(1)
+        )
+        return F.struct(
+            F.size(ls).cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.array_join(kept, "\n").alias("text_dedup"),
+        )
+
+    return F.element_at(F.transform(F.array(F.split(text, "\n")), build), 1)
+
+
 def dedup_lines(df, text_col: str = "text", id_col: str = "doc_id"):
     """RefinedWeb/CCNet-style INTRA-document line dedup: within each
     document, drop every line that already appeared verbatim earlier in
@@ -968,25 +1020,63 @@ def dedup_lines(df, text_col: str = "text", id_col: str = "doc_id"):
     boundary.
     """
 
-    def build(ls: Column) -> Column:
-        kept = F.filter(
-            ls, lambda x, i: F.array_position(ls, x) == i + F.lit(1)
-        )
-        return F.struct(
-            F.size(ls).cast("long").alias("n_lines"),
-            F.size(kept).cast("long").alias("n_kept"),
-            F.array_join(kept, "\n").alias("text_dedup"),
-        )
-
-    s = F.element_at(
-        F.transform(F.array(F.split(F.col(text_col), "\n")), build), 1
-    )
+    s = line_dedup_struct(F.col(text_col))
     return df.select(
         F.col(id_col),
         s["n_lines"].alias("n_lines"),
         s["n_kept"].alias("n_kept"),
         s["text_dedup"].alias("text_dedup"),
     )
+
+
+def _boilerplate_lines(df, min_docs, text_col, id_col, group_col):
+    """The (group, line) high-document-frequency survivor set behind
+    :func:`boilerplate_scrub` — one map-side-combinable distinct-doc
+    count over narrow rows."""
+    exploded = df.select(
+        F.col(group_col), F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("__line"),
+    ).filter(F.col("__line") != "")
+    return (
+        exploded.groupBy(group_col, "__line")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= F.lit(min_docs))
+    )
+
+
+def boilerplate_sets(
+    df,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+):
+    """Per-group boilerplate-line arrays (group, __bl) — the tiny
+    broadcast side of the scrub, exposed so composites can attach it
+    with a broadcast join and rewrite the text in place (see
+    :func:`line_dedup_struct`)."""
+    return (
+        _boilerplate_lines(df, min_docs, text_col, id_col, group_col)
+        .groupBy(group_col)
+        .agg(F.collect_set("__line").alias("__bl"))
+    )
+
+
+def boilerplate_scrub_struct(text: Column, bl: Column) -> Column:
+    """Expression form of the broadcast-mode scrub — struct(n_lines,
+    n_boiler, text_clean) over one text column given the group's
+    boilerplate-line array ``bl``."""
+    ls_expr = F.split(text, "\n")
+
+    def build(ls: Column) -> Column:
+        kept = F.filter(ls, lambda x: ~F.array_contains(bl, x))
+        return F.struct(
+            F.size(ls).cast("long").alias("n_lines"),
+            (F.size(ls) - F.size(kept)).cast("long").alias("n_boiler"),
+            F.array_join(kept, "\n").alias("text_clean"),
+        )
+
+    return F.element_at(F.transform(F.array(ls_expr), build), 1)
 
 
 def boilerplate_scrub(
@@ -1029,14 +1119,7 @@ def boilerplate_scrub(
     if mode not in ("broadcast", "join"):
         raise ValueError(f"unknown mode {mode!r}")
     lines_expr = F.split(F.col(text_col), "\n")
-    exploded = df.select(
-        F.col(group_col), F.col(id_col), F.explode(lines_expr).alias("__line")
-    ).filter(F.col("__line") != "")
-    boiler = (
-        exploded.groupBy(group_col, "__line")
-        .agg(F.countDistinct(id_col).alias("__df"))
-        .filter(F.col("__df") >= F.lit(min_docs))
-    )
+    boiler = _boilerplate_lines(df, min_docs, text_col, id_col, group_col)
 
     if mode == "broadcast":
         ba = boiler.groupBy(group_col).agg(
@@ -1044,16 +1127,7 @@ def boilerplate_scrub(
         )
         j = df.join(F.broadcast(ba), on=group_col, how="left")
         bl = F.coalesce(F.col("__bl"), F.array().cast("array<string>"))
-
-        def build(ls: Column) -> Column:
-            kept = F.filter(ls, lambda x: ~F.array_contains(bl, x))
-            return F.struct(
-                F.size(ls).cast("long").alias("n_lines"),
-                (F.size(ls) - F.size(kept)).cast("long").alias("n_boiler"),
-                F.array_join(kept, "\n").alias("text_clean"),
-            )
-
-        s = F.element_at(F.transform(F.array(lines_expr), build), 1)
+        s = boilerplate_scrub_struct(F.col(text_col), bl)
         return j.select(
             F.col(id_col),
             s["n_lines"].alias("n_lines"),
@@ -1094,6 +1168,38 @@ def boilerplate_scrub(
     )
 
 
+def c4_line_struct(text: Column, min_words: int = 5) -> Column:
+    """Expression form of :func:`c4_line_rules` — struct(n_lines,
+    n_kept, text_clean, drop_page) over one text column (see
+    :func:`line_dedup_struct` for why composites use the expression
+    instead of an id-join-back)."""
+
+    def build(ls: Column) -> Column:
+        kept = F.filter(
+            ls,
+            lambda x: x.rlike('[.!?"]$')
+            & (
+                F.size(F.filter(F.split(x, " "), lambda w: w != ""))
+                >= F.lit(min_words)
+            )
+            & ~F.lower(x).contains("javascript"),
+        )
+        return F.struct(
+            F.size(ls).cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.array_join(kept, "\n").alias("text_clean"),
+        )
+
+    s = F.element_at(F.transform(F.array(F.split(text, "\n")), build), 1)
+    low = F.lower(text)
+    return F.struct(
+        s["n_lines"].alias("n_lines"),
+        s["n_kept"].alias("n_kept"),
+        s["text_clean"].alias("text_clean"),
+        (low.contains("lorem ipsum") | low.contains("{")).alias("drop_page"),
+    )
+
+
 def c4_line_rules(
     df,
     text_col: str = "text",
@@ -1116,32 +1222,13 @@ def c4_line_rules(
     is scanned once and never moved.
     """
 
-    def build(ls: Column) -> Column:
-        kept = F.filter(
-            ls,
-            lambda x: x.rlike('[.!?"]$')
-            & (
-                F.size(F.filter(F.split(x, " "), lambda w: w != ""))
-                >= F.lit(min_words)
-            )
-            & ~F.lower(x).contains("javascript"),
-        )
-        return F.struct(
-            F.size(ls).cast("long").alias("n_lines"),
-            F.size(kept).cast("long").alias("n_kept"),
-            F.array_join(kept, "\n").alias("text_clean"),
-        )
-
-    s = F.element_at(
-        F.transform(F.array(F.split(F.col(text_col), "\n")), build), 1
-    )
-    low = F.lower(F.col(text_col))
+    s = c4_line_struct(F.col(text_col), min_words=min_words)
     return df.select(
         F.col(id_col),
         s["n_lines"].alias("n_lines"),
         s["n_kept"].alias("n_kept"),
         s["text_clean"].alias("text_clean"),
-        (low.contains("lorem ipsum") | low.contains("{")).alias("drop_page"),
+        s["drop_page"].alias("drop_page"),
     )
 
 

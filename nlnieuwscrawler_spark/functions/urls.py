@@ -243,8 +243,39 @@ def url_quality_filter(
     oracle-portable: digit counting via global regexp_replace and one
     rounded double division, identical in DuckDB.
     """
+    s = url_quality_struct(
+        F.col(url_col),
+        max_depth=max_depth,
+        max_params=max_params,
+        max_digit_ratio=max_digit_ratio,
+        max_len=max_len,
+        block_tokens=block_tokens,
+    )
+    return df.select(
+        F.col(id_col),
+        *[
+            s[f].alias(f)
+            for f in (
+                "depth", "n_params", "digit_ratio", "n_chars", "blocked",
+                "keep",
+            )
+        ],
+    )
+
+
+def url_quality_struct(
+    url: "Column",
+    max_depth: int = 8,
+    max_params: int = 4,
+    max_digit_ratio: float = 0.5,
+    max_len: int = 512,
+    block_tokens: list[str] | None = None,
+) -> "Column":
+    """Expression form of :func:`url_quality_filter` — one struct over a
+    URL column, exposed so composites (curate()) can gate with a
+    zero-shuffle ``filter`` instead of joining the (id, keep) frame back
+    on id (r7: that join moved the whole corpus through an exchange)."""
     toks = block_tokens if block_tokens is not None else URL_BLOCK_TOKENS
-    url = F.col(url_col)
     path = url_path(url)
     segs = F.filter(F.split(path, "/"), lambda x: x != "")
     depth = F.size(segs).cast("long")
@@ -269,8 +300,7 @@ def url_quality_filter(
         & (n_chars <= F.lit(max_len))
         & ~blocked
     )
-    return df.select(
-        F.col(id_col),
+    return F.struct(
         depth.alias("depth"),
         n_params.alias("n_params"),
         digit_ratio.alias("digit_ratio"),

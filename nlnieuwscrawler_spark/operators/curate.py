@@ -60,14 +60,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nlnieuwscrawler_spark.functions.text import (
-    boilerplate_scrub,
-    c4_line_rules,
-    dedup_lines,
-    gopher_quality,
+    boilerplate_scrub_struct,
+    boilerplate_sets,
+    c4_line_struct,
+    line_dedup_struct,
     pii_scrub,
     token_count_ws,
 )
-from nlnieuwscrawler_spark.functions.urls import url_quality_filter
 from nlnieuwscrawler_spark.operators.dedup import (
     decontaminate,
     dedup_exact,
@@ -195,19 +194,27 @@ def curate(
         )
     cached: list[DataFrame] = []
 
-    # -- 1. ingest: URL quality gate ----------------------------------------
+    # The whole ingest-and-rewrite chain is ZERO corpus shuffles (r7):
+    # every gate/rewrite below is applied as a filter/projection through
+    # the stages' expression forms (url_quality_struct, c4_line_struct,
+    # line_dedup_struct, boilerplate_scrub_struct, pii_scrub) — the r6
+    # form joined each stage's (id, text) result frame back on id, which
+    # moved the full corpus (text column included) through one exchange
+    # PER STAGE (guide §2.4: remove shuffles outright). Only the
+    # boilerplate survivor sets aggregate — narrow rows, broadcast back.
+
+    # -- 1. ingest: URL quality gate (zero-shuffle filter) ------------------
+    from nlnieuwscrawler_spark.functions.urls import url_quality_struct
+
     if url_col is not None:
-        url_ids = (
-            url_quality_filter(docs, url_col=url_col, id_col=id_col)
-            .filter(F.col("keep"))
-            .select(id_col)
-        )
-        urld = docs.join(url_ids, id_col)
+        urld = docs.filter(url_quality_struct(F.col(url_col))["keep"])
     else:
-        url_ids = None
         urld = docs
 
     # -- 2. ingest: incremental dedup vs persisted history (RAW text) -------
+    # (an anti-join keyed on the 16-byte hash — broadcastable history
+    # never moves the corpus; a corpus-sized history shuffles narrow
+    # hash rows, not text)
     if seen_hashes is not None:
         incd = dedup_incremental(
             urld, seen_hashes, text_col=text_col, id_col=id_col
@@ -218,26 +225,37 @@ def curate(
     # -- 3-6. text rewrites (line rules / line dedup / boilerplate / PII) ---
     cleaned = incd
     if line_rules:
-        lr = (
-            c4_line_rules(cleaned, text_col=text_col, id_col=id_col)
-            .filter(~F.col("drop_page") & (F.col("n_kept") > 0))
-            .select(id_col, F.col("text_clean").alias(text_col))
+        c4 = c4_line_struct(F.col(text_col))
+        cleaned = (
+            cleaned.withColumn("__c4", c4)
+            .filter(
+                ~F.col("__c4.drop_page") & (F.col("__c4.n_kept") > 0)
+            )
+            .withColumn(text_col, F.col("__c4.text_clean"))
+            .drop("__c4")
         )
-        cleaned = cleaned.drop(text_col).join(lr, id_col)
     if line_dedup:
-        dl = dedup_lines(cleaned, text_col=text_col, id_col=id_col).select(
-            id_col, F.col("text_dedup").alias(text_col)
+        cleaned = cleaned.withColumn(
+            text_col, line_dedup_struct(F.col(text_col))["text_dedup"]
         )
-        cleaned = cleaned.drop(text_col).join(dl, id_col)
     if boilerplate_min_docs is not None:
-        bs = boilerplate_scrub(
+        ba = boilerplate_sets(
             cleaned,
             min_docs=boilerplate_min_docs,
             text_col=text_col,
             id_col=id_col,
             group_col=boilerplate_group_col,
-        ).select(id_col, F.col("text_clean").alias(text_col))
-        cleaned = cleaned.drop(text_col).join(bs, id_col)
+        )
+        bl = F.coalesce(F.col("__bl"), F.array().cast("array<string>"))
+        cleaned = (
+            cleaned.join(F.broadcast(ba), on=boilerplate_group_col, how="left")
+            .withColumn(
+                text_col, boilerplate_scrub_struct(F.col(text_col), bl)[
+                    "text_clean"
+                ]
+            )
+            .drop("__bl")
+        )
     if pii:
         cleaned = cleaned.withColumn(
             text_col, pii_scrub(F.col(text_col))["text_clean"]
@@ -268,13 +286,10 @@ def curate(
         cleaned, reliable, storage_level=StorageLevel.DISK_ONLY
     )
 
-    # -- 7. quality gates ---------------------------------------------------
-    quality_ids = (
-        gopher_quality(cleaned, text_col=text_col, id_col=id_col)
-        .filter(F.col("passes"))
-        .select(id_col)
-    )
-    qd = cleaned.join(quality_ids, id_col)
+    # -- 7. quality gates (zero-shuffle filter over the cached corpus) ------
+    from nlnieuwscrawler_spark.functions.text import gopher_struct
+
+    qd = cleaned.filter(gopher_struct(F.col(text_col))["passes"])
 
     # -- 8. exact dedup (keep the min-id representative) --------------------
     reps = dedup_exact(qd, text_col=text_col, id_col=id_col).select(
@@ -353,6 +368,9 @@ def curate(
                 id_col=id_col,
                 eval_text_col=text_col,
                 min_overlap=decon_min_overlap,
+                # the corpus here is a persisted post-shuffle frame; the
+                # _spread partition probe would re-plan the whole chain
+                spread=False,
             )
             .select(id_col)
             .distinct()
@@ -379,22 +397,26 @@ def curate(
     )
 
     # -- stage audit: ONE union-all aggregation job --------------------------
-    # Narrow-frame counting where the join is 1:1 on id (url gate /
-    # quality / exact legs count the id frames, identical row counts by
-    # construction). The four rewrite rows all count the PERSISTED cleaned
-    # frame: line_rules is the only dropper among them, and the later
-    # rewrites are 1:1, so count(cleaned) equals every one of the four
-    # stage outputs that are actually enabled — one cached count serves
-    # four audit rows without re-running any rewrite.
+    # The four rewrite rows all count the PERSISTED cleaned frame:
+    # line_rules is the only dropper among them, and the later rewrites
+    # are 1:1, so count(cleaned) equals every one of the four stage
+    # outputs that are actually enabled. Identical frames are counted
+    # ONCE (legs grouped by plan object, one agg fanned out to its stage
+    # rows via explode) — r7, closes the ADVICE r6 note: the r6 audit
+    # ran four separate count legs over the cleaned corpus and
+    # re-executed the UNCACHED ingest ancestors (raw scan → URL gate →
+    # md5 anti-join) for the url_gate/incremental rows; those legs are
+    # now shallow zero-shuffle projections of the raw scan (no joins to
+    # replay), and the duplicate cleaned legs collapsed into one.
     stage_dfs = [
         docs,
-        url_ids if url_ids is not None else docs,
+        urld,
         incd,
         cleaned,
         cleaned,
         cleaned,
         cleaned,
-        quality_ids,
+        qd,
         reps,
         keepd,
         spand,
@@ -402,17 +424,39 @@ def curate(
         sampled,
         packed,
     ]
-    counts = reduce(
-        DataFrame.unionByName,
-        [
-            df.agg(F.count(F.lit(1)).alias("rows_kept")).select(
-                F.lit(i).alias("stage_idx"),
-                F.lit(name).alias("stage"),
-                F.col("rows_kept"),
+    legs: dict[int, tuple[DataFrame, list[tuple[int, str]]]] = {}
+    for i, (name, sdf) in enumerate(zip(STAGES, stage_dfs)):
+        legs.setdefault(id(sdf), (sdf, []))[1].append((i, name))
+    branches = []
+    for sdf, rows in legs.values():
+        agg = sdf.agg(F.count(F.lit(1)).alias("rows_kept"))
+        if len(rows) == 1:
+            i, name = rows[0]
+            branches.append(
+                agg.select(
+                    F.lit(i).alias("stage_idx"),
+                    F.lit(name).alias("stage"),
+                    F.col("rows_kept"),
+                )
             )
-            for i, (name, df) in enumerate(zip(STAGES, stage_dfs))
-        ],
-    )
+        else:
+            tags = F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("stage_idx"),
+                        F.lit(name).alias("stage"),
+                    )
+                    for i, name in rows
+                ]
+            )
+            branches.append(
+                agg.select(F.explode(tags).alias("__t"), "rows_kept").select(
+                    F.col("__t.stage_idx").alias("stage_idx"),
+                    F.col("__t.stage").alias("stage"),
+                    F.col("rows_kept"),
+                )
+            )
+    counts = reduce(DataFrame.unionByName, branches)
     return CurationResult(
         curated=sampled, packed=packed, stage_counts=counts, cached=cached
     )

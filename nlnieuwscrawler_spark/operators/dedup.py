@@ -112,6 +112,12 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All (a < b) pairs with n-gram Jaccard ≥ threshold, within a block.
 
+    Docs whose ``block_col`` value is NULL are EXCLUDED from all pairing
+    (the candidate equi-join on the block key drops NULL keys) —
+    consistent with ``minhash_lsh_pairs``; coalesce a nullable block
+    column to a sentinel first if NULL-block docs should still pair
+    among themselves (ADVICE r6).
+
     EXACT set-similarity self-join via PREFIX FILTERING (the PPJoin-family
     bound): order each doc's distinct shingle set by ONE global total
     order; if J(a,b) ≥ τ the two sets MUST share a token within each one's
@@ -444,6 +450,7 @@ def decontaminate(
     n: int = 3,
     min_overlap: int = 8,
     broadcast_eval: bool = True,
+    spread: bool = True,
 ) -> DataFrame:
     """Flag corpus docs sharing ≥ ``min_overlap`` distinct word n-grams
     with ANY single eval/benchmark doc → (doc_id, eval_id, n_shared).
@@ -463,7 +470,14 @@ def decontaminate(
     per-doc distinct, so ``count(*)`` per (doc, eval) pair IS the number
     of distinct shared grams.
     """
-    corpus_grams = _spread(docs.select(id_col, text_col)).select(
+    # ``spread=False``: skip the partition-count probe (``df.rdd`` must
+    # fully plan the input — ~1.3 s on a deep composite chain) when the
+    # caller KNOWS the corpus is already adequately partitioned, e.g.
+    # curate()'s persisted post-shuffle frame (r7).
+    corpus = docs.select(id_col, text_col)
+    if spread:
+        corpus = _spread(corpus)
+    corpus_grams = corpus.select(
         id_col, F.explode(word_ngrams(F.col(text_col), n)).alias("__g")
     )
     eval_grams = eval_docs.select(
@@ -650,6 +664,10 @@ def minhash_lsh_pairs(
     universe whichever near-dup backend it picks. Implemented as an extra
     equi-key on the bucket join (never a post-filter), so cross-block
     bucket collisions are pruned by the shuffle hash, not materialized.
+    NULL-blocked docs are EXCLUDED from all pairing (equi-join keys drop
+    NULLs) — the same contract as ``ngram_jaccard_pairs``; coalesce a
+    nullable block column to a sentinel value first if NULL-lang docs
+    should still pair among themselves (ADVICE r6).
 
     ``max_bucket``: SKIP buckets holding more than this many docs (the
     LSH analogue of mirror_hosts' df-per-hash guard). A template farm —
@@ -722,6 +740,18 @@ def minhash_lsh_pairs(
         )
         if stats is not None:
             stats["hot_buckets"] = hot.count()
+            # size the recall exposure, not just the bucket count
+            # (ADVICE r6): how many distinct docs had at least one
+            # banded row pruned — those are the docs whose near-dups
+            # can only be found via a cooler band
+            stats["docs_in_hot_buckets"] = (
+                banded.join(
+                    F.broadcast(hot), ["band", "key"] + blk, "left_semi"
+                )
+                .select("id")
+                .distinct()
+                .count()
+            )
         banded = banded.join(
             F.broadcast(hot), ["band", "key"] + blk, "left_anti"
         )
