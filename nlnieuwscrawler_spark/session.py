@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size-based coalescing (guide §2.2): target advisory partition
+        # BYTES instead of maximizing small-cluster parallelism — the
+        # scale-correct behavior (tiny reduce stages collapse to few
+        # tasks; 100 TB stages still split by size). Locally neutral-to-
+        # slightly-positive (A/B over 30 mixed queries at sf0.1: -1.5%).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
