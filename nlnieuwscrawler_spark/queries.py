@@ -4663,63 +4663,15 @@ FROM g LEFT JOIN pd USING (doc_id) ORDER BY g.doc_id
 #     a 50-row window, full coverage now takes exactly two rounds:
 #     r7 should swap the halves again (r5-graded set back in, r6 set
 #     out) unless newcomers displace seats.
+#   * Round-7 rotation (VERDICT r6 #1, executed): the full swap-back —
+#     the 50 queries driver-graded in r5 (out-of-window through r6)
+#     return to positions 1-50 in their r5 window order, and the 50
+#     r6-graded queries (CORRECTNESS_r06 full-green) move out. No r7
+#     newcomers (optimization round — no new features), so the cycle
+#     keeps every oracled query driver-graded within two rounds.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- positions 1-50: THE r6 DRIVER WINDOW — 3 newcomers first,
-    # then ALL 47 queries that sat outside the r5 window (rotation
-    # policy above; zero r5-graded queries remain in-window)
-    "shard_pack": q_shard_pack,
-    "host_dup_ratio": q_host_dup_ratio,
-    "ngram_novelty": q_ngram_novelty,
-    "stratified_sample": q_stratified_sample,
-    "decontaminate": q_decontaminate,
-    "bm25_search": q_bm25_search,
-    "dedup_components": q_dedup_components,
-    "stateful_budget": q_stateful_budget,
-    "stream_dedup_users": q_stream_dedup_users,
-    "frame_sample": q_frame_sample,
-    "ann_bruteforce": q_ann_bruteforce,
-    "train_test_split": q_train_test_split,
-    "lang_id": q_lang_id,
-    "asof_join_left": q_asof_join_left,
-    "dedup_exact": q_dedup_exact,
-    "session_stats": q_session_stats,
-    "asof_latest_event": q_asof_latest_event,
-    "range_join": q_range_join,
-    "udtf_tokens": q_udtf_tokens,
-    "stream_hourly": q_stream_hourly,
-    "top_revenue_orders": q_top_revenue_orders,
-    "region_revenue": q_region_revenue,
-    "window_topk_per_customer": q_window_topk_per_customer,
-    "semi_anti_join": q_semi_anti_join,
-    "set_ops": q_set_ops,
-    "grouping_sets": q_grouping_sets,
-    "variant_props": q_variant_props,
-    "rollup_metrics": q_rollup_metrics,
-    "correlated_above_avg": q_correlated_above_avg,
-    "exists_parts": q_exists_parts,
-    "percent_rank_cume": q_percent_rank_cume,
-    "unpivot": q_unpivot,
-    "window_running": q_window_running,
-    "hourly_events": q_hourly_events,
-    "json_props": q_json_props,
-    "pivot_status": q_pivot_status,
-    "left_outer_join": q_left_outer_join,
-    "percentiles": q_percentiles,
-    "ntile_buckets": q_ntile_buckets,
-    "map_props": q_map_props,
-    "string_funcs": q_string_funcs,
-    "union_all": q_union_all,
-    "orders_per_year": q_orders_per_year,
-    "array_stats": q_array_stats,
-    "range_frame": q_range_frame,
-    "text_quality": q_text_quality,
-    "token_stats": q_token_stats,
-    "lang_gate": q_lang_gate,
-    "sliding_window": q_sliding_window,
-    "quality_scores": q_quality_scores,
-    # --- positions 51+: oracle-backed, graded by the driver in r5
-    # (CORRECTNESS_r05 full-green); re-verified every session by
-    # /verify and pytest
+    # --- positions 1-50: THE r7 DRIVER WINDOW — the 50 queries last
+    # driver-graded in r5 (rotation policy above)
     "pricing_summary": q_pricing_summary,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup": q_semdedup,
@@ -4770,6 +4722,59 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "tfidf_topk": q_tfidf_topk,
     "pmi_bigrams": q_pmi_bigrams,
+    # --- positions 51+: oracle-backed, driver-graded in r6
+    # (CORRECTNESS_r06 full-green); re-verified every session by
+    # /verify and pytest
+    "shard_pack": q_shard_pack,
+    "host_dup_ratio": q_host_dup_ratio,
+    "ngram_novelty": q_ngram_novelty,
+    "stratified_sample": q_stratified_sample,
+    "decontaminate": q_decontaminate,
+    "bm25_search": q_bm25_search,
+    "dedup_components": q_dedup_components,
+    "stateful_budget": q_stateful_budget,
+    "stream_dedup_users": q_stream_dedup_users,
+    "frame_sample": q_frame_sample,
+    "ann_bruteforce": q_ann_bruteforce,
+    "train_test_split": q_train_test_split,
+    "lang_id": q_lang_id,
+    "asof_join_left": q_asof_join_left,
+    "dedup_exact": q_dedup_exact,
+    "session_stats": q_session_stats,
+    "asof_latest_event": q_asof_latest_event,
+    "range_join": q_range_join,
+    "udtf_tokens": q_udtf_tokens,
+    "stream_hourly": q_stream_hourly,
+    "top_revenue_orders": q_top_revenue_orders,
+    "region_revenue": q_region_revenue,
+    "window_topk_per_customer": q_window_topk_per_customer,
+    "semi_anti_join": q_semi_anti_join,
+    "set_ops": q_set_ops,
+    "grouping_sets": q_grouping_sets,
+    "variant_props": q_variant_props,
+    "rollup_metrics": q_rollup_metrics,
+    "correlated_above_avg": q_correlated_above_avg,
+    "exists_parts": q_exists_parts,
+    "percent_rank_cume": q_percent_rank_cume,
+    "unpivot": q_unpivot,
+    "window_running": q_window_running,
+    "hourly_events": q_hourly_events,
+    "json_props": q_json_props,
+    "pivot_status": q_pivot_status,
+    "left_outer_join": q_left_outer_join,
+    "percentiles": q_percentiles,
+    "ntile_buckets": q_ntile_buckets,
+    "map_props": q_map_props,
+    "string_funcs": q_string_funcs,
+    "union_all": q_union_all,
+    "orders_per_year": q_orders_per_year,
+    "array_stats": q_array_stats,
+    "range_frame": q_range_frame,
+    "text_quality": q_text_quality,
+    "token_stats": q_token_stats,
+    "lang_gate": q_lang_gate,
+    "sliding_window": q_sliding_window,
+    "quality_scores": q_quality_scores,
     # --- NO_ORACLE (rows-only) entries LAST (see window policy above)
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
