@@ -38,12 +38,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # size-based coalescing (guide §2.2): target advisory partition
-        # BYTES instead of maximizing small-cluster parallelism — the
-        # scale-correct behavior (tiny reduce stages collapse to few
-        # tasks; 100 TB stages still split by size). Locally neutral-to-
-        # slightly-positive (A/B over 30 mixed queries at sf0.1: -1.5%).
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst stays at its DEFAULT (true). The r7 experiment
+        # with size-based coalescing (parallelismFirst=false, the usual
+        # big-cluster advice) measured -1.5% on tiny sf0.1 queries but
+        # CUT the 1M-page crawl scaling leg's local[32] throughput ~30%:
+        # this engine's hot stages move KILOBYTES per row of narrow keys
+        # while doing milliseconds of CPU per row (politeness ranks,
+        # extraction), so byte-targeted coalescing starves them of cores.
+        # Advisory-size coalescing belongs on byte-proportional workloads,
+        # not here — measured, rejected, documented (OPTIMIZATION_r07.md).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
