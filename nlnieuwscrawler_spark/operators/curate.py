@@ -309,6 +309,9 @@ def curate(
             threshold=near_dup_threshold,
             block_col=near_dup_block,
             max_bucket=near_dup_max_bucket,
+            # exd is a persisted post-shuffle frame — skip the df.rdd
+            # partition probe (see decontaminate's spread note)
+            spread=False,
         )
     elif near_dup == "jaccard":
         pairs = ngram_jaccard_pairs(
@@ -317,6 +320,7 @@ def curate(
             id_col=id_col,
             block_col=near_dup_block,
             threshold=near_dup_threshold,
+            spread=False,
         )
     else:
         pairs = None

@@ -109,6 +109,7 @@ def ngram_jaccard_pairs(
     block_col: str | None = "lang",
     n: int = 3,
     threshold: float = 0.5,
+    spread: bool = True,
 ) -> DataFrame:
     """All (a < b) pairs with n-gram Jaccard ≥ threshold, within a block.
 
@@ -146,13 +147,17 @@ def ngram_jaccard_pairs(
     # explode (the pipeline's CPU hot spot) runs twice COLD (the r4 CSE fix
     # only helped warm runs; the driver bench is cold-first-run). The rows
     # are the narrow (id, blk, tok) projection — spillable, never the text.
-    ex = _spread(
-        df.select(
-            F.col(id_col).alias("id"),
-            (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
-            F.col(text_col),
-        )
-    ).select(
+    # ``spread=False``: skip the partition-count probe (``df.rdd`` fully
+    # plans the input) when the caller KNOWS the corpus is already
+    # adequately partitioned — curate()'s persisted post-shuffle frame.
+    src = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
+        F.col(text_col),
+    )
+    if spread:
+        src = _spread(src)
+    ex = src.select(
         "id",
         "blk",
         F.explode(
@@ -651,6 +656,7 @@ def minhash_lsh_pairs(
     block_col: str | None = None,
     max_bucket: int | None = None,
     stats: dict | None = None,
+    spread: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -691,8 +697,13 @@ def minhash_lsh_pairs(
         base.append(F.col(block_col).alias("__blk"))
     blk = ["__blk"] if block_col is not None else []
     gram_cols = ["id", word_ngrams(F.col(text_col), n).alias("grams")] + blk
+    src = df.select(*base)
+    if spread:
+        # see ngram_jaccard_pairs: skip the df.rdd partition probe when
+        # the caller knows the input is already well-partitioned
+        src = _spread(src)
     g = (
-        _spread(df.select(*base))
+        src
         .select(*gram_cols)
         # docs with no n-grams (< n tokens) can never be near-dups of
         # anything (Jaccard 0 by convention); dropping them here also keeps

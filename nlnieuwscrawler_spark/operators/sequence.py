@@ -115,6 +115,16 @@ def global_running_sum(
     operators.sampling.shard_pack`): at 10^10 docs the prefix sum is the
     only global dependency, and it costs one range shuffle of the NARROW
     (order, value) projection plus a |partitions|-row collect.
+
+    HAZARD (ADVICE r6): offsets are keyed by partition id of the
+    persisted ranged frame. If a cached block is lost between the totals
+    collect and the mapInPandas pass, ``repartitionByRange`` re-samples
+    boundaries on recompute and rows can change partitions — silently
+    corrupting the prefix sums (the exposure ``global_sequence``
+    documents, but a wrong SUM is harder to notice than a wrong rank).
+    For long cluster runs pass ``reliable=True`` (or cut the ranged
+    frame's lineage before the totals job) so the ranged layout is a
+    fact, not a recipe.
     """
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism * 2
