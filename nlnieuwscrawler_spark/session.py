@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import SparkSession
 
 
@@ -97,8 +98,14 @@ def _warm_up(spark: SparkSession) -> None:
             F.count(F.lit(1)).alias("n")
         )
         agg.join(F.broadcast(small), agg["k"] == small["id"], "left").count()
-        # Python worker pool + Arrow serializer (the pandas-UDF path)
-        import pandas as pd
+        # Python worker pool + Arrow serializer (the pandas-UDF path).
+        # NOTE: ``pd`` must be importable from MODULE globals — with
+        # ``from __future__ import annotations`` the ``pd.Series`` hints
+        # are strings and pyspark resolves them via the function's
+        # __globals__; a function-local ``import pandas`` made the
+        # decorator raise UNSUPPORTED_SIGNATURE, silently truncating the
+        # warm-up at this line on every session (caught in r7: the
+        # marker below was never set).
 
         @F.pandas_udf("long")
         def _noop_udf(s: pd.Series) -> pd.Series:
@@ -133,9 +140,53 @@ def _warm_up(spark: SparkSession) -> None:
 
         rp.mapInPandas(_ident, "id long").count()
         rp.unpersist()
+        # Python DataSource machinery: the plan-time worker processes
+        # (create_data_source / plan_data_source_read) and the arrow read
+        # path spin up on first use of ANY registered Python source and
+        # are keyed by worker module, not source class — measured ~6 s on
+        # this box (python_datasource query: 6.6 s cold vs 0.7 s warm;
+        # 1.4 s cold after this). A one-row inline source warms the pool
+        # without touching any real source or input data. Own try/except:
+        # a failure here must not re-trigger the earlier warm jobs on the
+        # next get_spark call.
+        try:
+            from pyspark.sql.datasource import (
+                DataSource,
+                DataSourceReader,
+                InputPartition,
+            )
+
+            class _WarmReader(DataSourceReader):
+                def partitions(self):
+                    return [InputPartition(0)]
+
+                def read(self, partition):
+                    yield (0,)
+
+            class _WarmSource(DataSource):
+                @classmethod
+                def name(cls):
+                    return "nlnc_warm_src"
+
+                def schema(self):
+                    return "i long"
+
+                def reader(self, schema):
+                    return _WarmReader()
+
+            spark.dataSource.register(_WarmSource)
+            spark.read.format("nlnc_warm_src").load().count()
+        except Exception:
+            if os.environ.get("NLNC_WARM_DEBUG"):
+                import traceback
+
+                traceback.print_exc()
         spark.conf.set(marker, "1")
     except Exception:
         # warm-up is best-effort: a restricted environment (e.g. a
         # stopped context in teardown-order tests) must not break
         # session construction
-        pass
+        if os.environ.get("NLNC_WARM_DEBUG"):
+            import traceback
+
+            traceback.print_exc()
