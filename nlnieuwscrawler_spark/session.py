@@ -181,6 +181,26 @@ def _warm_up(spark: SparkSession) -> None:
                 import traceback
 
                 traceback.print_exc()
+        # MLlib class graph + Breeze/BLAS native init: the first
+        # KMeans.fit in a session pays ~1.1 s of JVM-side loading no
+        # matter how tiny the input (measured: ann_ivf — the one MLlib
+        # consumer — 5.0 s cold vs 3.95 s after this 20-row fit,
+        # alternating fresh-process A/B). Synthetic rows, result
+        # discarded; own try/except for the same reason as above.
+        try:
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.linalg import Vectors
+
+            mldf = spark.createDataFrame(
+                [(Vectors.dense([float(i), float(i % 3)]),) for i in range(20)],
+                ["features"],
+            )
+            KMeans(k=2, maxIter=1, seed=1).fit(mldf)
+        except Exception:
+            if os.environ.get("NLNC_WARM_DEBUG"):
+                import traceback
+
+                traceback.print_exc()
         spark.conf.set(marker, "1")
     except Exception:
         # warm-up is best-effort: a restricted environment (e.g. a
